@@ -1,0 +1,12 @@
+"""CDC engine: change-event generation, conflation, epoch apply loop.
+
+The reference's epoch loop (scrape → find-new → enrich → upsert,
+realtor_pipeline.py:27-54 driven by Luigi) becomes: tail the change
+log by LSN range → conflate to one winner per key → MERGE into the
+lake table → commit epoch id into the snapshot (exactly-once).
+"""
+
+from realdeal_spark.cdc.conflate import conflate
+from realdeal_spark.cdc.apply import CdcApplier, EpochReport
+
+__all__ = ["conflate", "CdcApplier", "EpochReport"]

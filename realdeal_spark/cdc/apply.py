@@ -1,0 +1,237 @@
+"""The epoch apply loop: change log → lake table, exactly-once.
+
+The reference's whole Luigi pipeline (one epoch = scrape → find-new →
+enrich → upsert, realtor_pipeline.py:27-54, idempotent via
+output-target existence checks at realdeal/luigi/base_task.py:18-23)
+collapses here into one function over a micro-batch:
+
+    events(lsn range) → conflate → enrich (pandas-UDF transform)
+        → merge_apply → snapshot commit carrying the epoch id
+
+Exactly-once: the epoch id is recorded in the *same* snapshot commit
+as the data (Snapshot.applied_epochs), so a re-run of an
+already-committed epoch is detected and skipped — the Spark analogue
+of the reference's completion-token files (shellscript.py:42-50,
+target_factory.py:42-54), but atomic with the write instead of a
+separate marker.
+
+Lineage + metrics per epoch (SURVEY §7.1 M6 / north_rule): each
+EpochReport records the source offset range, the snapshot id it
+committed, per-action row counts, and wall-clock throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realdeal_spark.cdc.conflate import conflate
+from realdeal_spark.lake.merge import MergeResult, merge_apply
+from realdeal_spark.lake.table import LakeTable
+
+
+@dataclass
+class EpochReport:
+    epoch_id: str
+    lsn_start: int
+    lsn_end: int  # inclusive
+    events_in: int
+    conflated: int
+    inserted: int
+    updated: int
+    deleted: int
+    unchanged: int
+    stale: int
+    snapshot_version: int | None
+    touched_buckets: list[int] = field(default_factory=list)
+    rewritten_buckets: list[int] = field(default_factory=list)
+    wall_ms: float = 0.0
+    skipped: bool = False
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_in / (self.wall_ms / 1000.0) if self.wall_ms else 0.0
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["events_per_sec"] = round(self.events_per_sec, 1)
+        return json.dumps(d, sort_keys=True)
+
+
+class CdcApplier:
+    """Drives epochs of a change log into a LakeTable.
+
+    ``transform`` is the enrichment hook run on the conflated batch
+    before the MERGE (e.g. extract.html_to_text adds the ``text``
+    column) — the reference's enrich stages
+    (update_mortage_data/update_address_data/update_zillow_data)
+    compressed into one vectorized pass.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        lsn_col: str = "lsn",
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        column_merge: str = "replace",
+        conflate_strategy: str = "max_by",
+    ):
+        self.table = table
+        self.lsn_col = lsn_col
+        self.transform = transform
+        self.column_merge = column_merge
+        self.conflate_strategy = conflate_strategy
+        self.reports: list[EpochReport] = []
+
+    # ------------------------------------------------------------ state
+
+    def last_applied_lsn(self) -> int:
+        """Resume point: max lsn_end over committed epochs (the
+        checkpoint lives *in* the table, so resume needs no side
+        files — replays reconverge from any snapshot)."""
+        snap = self.table.snapshot()
+        hi = -1
+        for eid in snap.applied_epochs:
+            if eid.startswith("lsn:"):
+                hi = max(hi, int(eid.split("-")[-1]))
+        return hi
+
+    @staticmethod
+    def epoch_id_for(lsn_start: int, lsn_end: int) -> str:
+        return f"lsn:{lsn_start}-{lsn_end}"
+
+    # ------------------------------------------------------------ epochs
+
+    def apply_epoch(self, events: DataFrame, lsn_start: int, lsn_end: int) -> EpochReport:
+        """Apply one epoch = the events with lsn in [lsn_start, lsn_end].
+
+        Idempotent: if the epoch id is already in the snapshot's
+        applied set, returns a skipped report without touching data.
+        """
+        epoch_id = self.epoch_id_for(lsn_start, lsn_end)
+        t0 = time.monotonic()
+        snap = self.table.snapshot()
+        if epoch_id in snap.applied_epochs:
+            return self._record(
+                EpochReport(
+                    epoch_id=epoch_id,
+                    lsn_start=lsn_start,
+                    lsn_end=lsn_end,
+                    events_in=0,
+                    conflated=0,
+                    inserted=0,
+                    updated=0,
+                    deleted=0,
+                    unchanged=0,
+                    stale=0,
+                    snapshot_version=snap.version,
+                    skipped=True,
+                    wall_ms=(time.monotonic() - t0) * 1000,
+                )
+            )
+
+        batch = events.where(
+            (F.col(self.lsn_col) >= lsn_start) & (F.col(self.lsn_col) <= lsn_end)
+        )
+        n_in = batch.count()
+        conflated = conflate(
+            batch,
+            snap.key_columns,
+            snap.order_columns,
+            strategy=self.conflate_strategy,
+        )
+        if self.transform is not None:
+            conflated = self.transform(conflated)
+        res: MergeResult = merge_apply(
+            self.table,
+            conflated,
+            column_merge=self.column_merge,
+            epoch_id=epoch_id,
+            extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end, "events_in": n_in},
+        )
+        n_conflated = res.inserted + res.updated + res.deleted + res.unchanged + res.stale
+        return self._record(
+            EpochReport(
+                epoch_id=epoch_id,
+                lsn_start=lsn_start,
+                lsn_end=lsn_end,
+                events_in=n_in,
+                conflated=n_conflated,
+                inserted=res.inserted,
+                updated=res.updated,
+                deleted=res.deleted,
+                unchanged=res.unchanged,
+                stale=res.stale,
+                snapshot_version=res.snapshot.version if res.snapshot else None,
+                touched_buckets=res.touched_buckets,
+                rewritten_buckets=res.rewritten_buckets,
+                wall_ms=(time.monotonic() - t0) * 1000,
+            )
+        )
+
+    def run(
+        self,
+        log: DataFrame,
+        epoch_size: int,
+        max_epochs: int | None = None,
+        from_lsn: int | None = None,
+    ) -> list[EpochReport]:
+        """Tail the log in fixed lsn-range epochs until exhausted.
+
+        ``epoch_size`` is the per-trigger admission budget — the
+        analogue of maxOffsetsPerTrigger and of the reference's
+        quota-bounded batch (limit=900, update_zillow_data.py:23).
+        Epoch boundaries are deterministic functions of lsn, so a
+        restart from any point re-produces identical batches and the
+        exactly-once guard makes replays no-ops.
+        """
+        start = (self.last_applied_lsn() + 1) if from_lsn is None else from_lsn
+        # align to deterministic epoch grid
+        start = (start // epoch_size) * epoch_size
+        # one aggregation finds the non-empty grid cells — sparse lsn
+        # ranges (compacted logs, retention-trimmed tails) don't cost
+        # a merge round-trip per empty cell.
+        cells = sorted(
+            r[0]
+            for r in log.where(F.col(self.lsn_col) >= start)
+            .select(F.floor(F.col(self.lsn_col) / epoch_size).alias("c"))
+            .distinct()
+            .collect()
+        )
+        if max_epochs is not None:
+            cells = cells[:max_epochs]
+        out = []
+        for c in cells:
+            out.append(
+                self.apply_epoch(log, int(c) * epoch_size, (int(c) + 1) * epoch_size - 1)
+            )
+        return out
+
+    def _record(self, r: EpochReport) -> EpochReport:
+        self.reports.append(r)
+        return r
+
+    def lineage(self) -> list[dict]:
+        """Offset-range → snapshot-id lineage across this applier's run
+        plus everything recorded in the table's snapshot history."""
+        out = []
+        for snap in self.table.history():
+            s = snap.summary
+            if "lsn_start" in s:
+                out.append(
+                    {
+                        "snapshot_version": snap.version,
+                        "lsn_start": s["lsn_start"],
+                        "lsn_end": s["lsn_end"],
+                        "events_in": s.get("events_in"),
+                        "inserted": s.get("inserted"),
+                        "updated": s.get("updated"),
+                        "deleted": s.get("deleted"),
+                    }
+                )
+        return out

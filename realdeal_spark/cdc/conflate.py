@@ -1,0 +1,87 @@
+"""Per-key conflation: reduce a change batch to one winner per key.
+
+The winner is the row with the maximum order tuple (``warc_ts, lsn``
+in the engine's tables) — the reference's keep-first-per-key ordered
+dedup (dedupe_properties.py:11-27 scans ORDER BY created DESC and
+keeps the first rowid per key) plus its intra-batch key-set dedup
+(find_new_properties.py:49), expressed set-based.
+
+Two strategies, identical results (tested against each other):
+
+- ``max_by`` (default): ``groupBy(key).agg(max_by(struct(*), order))``.
+  Spark plans this as a hash aggregate with *partial aggregation*:
+  each map task reduces its local rows per key before the shuffle, so
+  a hot key that is 50% of the batch shuffles as ~one row per map
+  task, not 50% of the data — skew is resolved map-side with no salt.
+  This is the scale-correct default.
+
+- ``window`` (+ optional explicit salt): the literal
+  ``row_number() over (partition by key order by order desc)`` form.
+  A plain window shuffles *every* row of the hot key into one
+  partition; the two-phase salted variant first dedups within
+  ``(key, salt)`` groups, then across salts.  Correct because the
+  order tuple is total per key (lsn unique), so max-of-maxes = max.
+  Kept for parity with the north_rule's named plan and as the shape
+  to use when the full sorted history per key is needed (not just
+  the winner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conflate(
+    df: DataFrame,
+    key_columns: list[str],
+    order_columns: list[str],
+    strategy: str = "max_by",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """One row per key: the max-order-tuple winner.
+
+    ``salt_buckets`` only applies to the window strategy; with the
+    default ``max_by`` strategy partial aggregation already bounds
+    per-partition hot-key volume.
+    """
+    if strategy == "max_by":
+        ordert = F.struct(*[F.col(c) for c in order_columns])
+        row = F.struct(*[F.col(c) for c in df.columns])
+        out = (
+            df.groupBy(*key_columns)
+            .agg(F.max_by(row, ordert).alias("_row"))
+            .select("_row.*")
+        )
+        return out
+
+    if strategy == "window":
+        order_desc = [F.desc(c) for c in order_columns]
+        if salt_buckets and salt_buckets > 1:
+            # phase 1: dedup within (key, salt) — splits a hot key's
+            # rows across `salt_buckets` window partitions
+            salted = df.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(*order_columns), F.lit(salt_buckets)).cast("int"),
+            )
+            w1 = Window.partitionBy(*key_columns, "_salt").orderBy(*order_desc)
+            phase1 = (
+                salted.withColumn("_rn", F.row_number().over(w1))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_salt")
+            )
+            # phase 2: ≤ salt_buckets rows per key remain
+            w2 = Window.partitionBy(*key_columns).orderBy(*order_desc)
+            return (
+                phase1.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        w = Window.partitionBy(*key_columns).orderBy(*order_desc)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    raise ValueError(f"unknown strategy: {strategy}")

@@ -1,0 +1,28 @@
+"""ACID parquet+manifest lake table format.
+
+This sandbox ships no Iceberg/Delta jars, so the engine implements the
+subset of an Iceberg-style table format that the CDC loop needs:
+
+- snapshot isolation (numbered snapshot JSONs, atomic create-only
+  commit, readers pin a version);
+- manifest-tracked data files grouped by a hash bucket of the table
+  key (``bucket = pmod(xxhash64(key), N)``) so a MERGE rewrites only
+  the buckets its source batch touches — the analogue of Iceberg's
+  partition-level file pruning, and the property that keeps a MERGE
+  of a small change batch O(batch) instead of O(table) at 10^10 rows;
+- schema evolution by field id (add / rename / type-widen) without
+  rewriting old files;
+- arbitrary key/value summary properties per snapshot — the epoch
+  exactly-once guard stores applied epoch ids there, mirroring
+  Iceberg snapshot summaries.
+
+Reference parity: this replaces the Fusion Tables row store the
+reference mutates via generated SQL (realdeal/fusion_tables_client.py:
+103-174 — SELECT/INSERT/UPDATE-by-rowid/DELETE-by-rowid); rowid
+addressing is replaced by key-equality MERGE over bucketed files.
+"""
+
+from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.merge import merge_apply
+
+__all__ = ["LakeTable", "merge_apply"]

@@ -1,0 +1,533 @@
+"""LakeTable — snapshot-isolated, bucket-manifested parquet tables.
+
+On-disk layout::
+
+    <root>/
+      _meta/
+        v000000001.json     one snapshot per committed version
+        v000000002.json
+      data/
+        delta-000000001/pb=<bucket>/part-*.parquet
+
+A snapshot JSON is the full table state (schema history, per-bucket
+file lists, summary properties).  Commit = write a temp file + hard
+``os.link`` to ``v{N}.json``: link(2) fails with EEXIST if a
+concurrent writer won, giving optimistic concurrency on any POSIX
+filesystem (single-writer in this sandbox; a real deployment swaps
+this for an object-store conditional PUT or a catalog service — the
+protocol shape is identical).
+
+Schema evolution is by *field id*, Iceberg-style: every column gets a
+stable integer id at creation; renames change only the name bound to
+the id; widens change only the type.  Old data files are never
+rewritten — the reader regroups files by the schema version they were
+written under, re-aliases by field id, casts to the current type, and
+unions.  (The reference's analogue is schema-on-write dicts whose
+column set silently grows per stage and a cache invalidation when the
+column set changes — realdeal/real_deal_batch_uploader.py:90-92;
+here evolution is explicit and versioned.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META = "_meta"
+_DATA = "data"
+_BUCKET_COL = "_bucket"
+_DELETED_COL = "_deleted"
+_PART_DIR_COL = "pb"
+
+# int→long etc. widening lattice: widen_column may only move rightward.
+_WIDEN_CHAINS = [
+    ["int", "bigint", "double"],
+    ["float", "double"],
+    ["bigint", "double"],
+]
+
+
+def _can_widen(src: str, dst: str) -> bool:
+    for chain in _WIDEN_CHAINS:
+        if src in chain and dst in chain and chain.index(src) < chain.index(dst):
+            return True
+    return False
+
+
+@dataclass
+class _SchemaVersion:
+    """One generation of the table schema: ordered (id, name, type)."""
+
+    version: int
+    fields: list[dict[str, Any]]  # {"id": int, "name": str, "type": str}
+
+    def struct(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _parse_type(f["type"]), True)
+                for f in self.fields
+            ]
+        )
+
+    def by_id(self) -> dict[int, dict[str, Any]]:
+        return {f["id"]: f for f in self.fields}
+
+
+def _parse_type(s: str) -> T.DataType:
+    return T.StructType.fromDDL(f"x {s}")[0].dataType
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_versions: list[_SchemaVersion]
+    current_schema: int
+    n_buckets: int
+    key_columns: list[str]
+    order_columns: list[str]
+    # bucket(str) -> list of {"path": rel, "schema_version": int, "rows": int}
+    files: dict[str, list[dict[str, Any]]]
+    summary: dict[str, Any] = field(default_factory=dict)
+    applied_epochs: list[str] = field(default_factory=list)
+    # soft_delete: deletes are kept as tombstone rows (hidden from
+    # default reads) so out-of-order protection survives across epoch
+    # boundaries — a stale update arriving after a delete cannot
+    # resurrect the row.  Makes final state independent of how the
+    # log is chopped into epochs.
+    soft_delete: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema_versions": [
+                    {"version": sv.version, "fields": sv.fields}
+                    for sv in self.schema_versions
+                ],
+                "current_schema": self.current_schema,
+                "n_buckets": self.n_buckets,
+                "key_columns": self.key_columns,
+                "order_columns": self.order_columns,
+                "files": self.files,
+                "summary": self.summary,
+                "applied_epochs": self.applied_epochs,
+                "soft_delete": self.soft_delete,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            schema_versions=[
+                _SchemaVersion(sv["version"], sv["fields"])
+                for sv in d["schema_versions"]
+            ],
+            current_schema=d["current_schema"],
+            n_buckets=d["n_buckets"],
+            key_columns=d["key_columns"],
+            order_columns=d["order_columns"],
+            files=d["files"],
+            summary=d.get("summary", {}),
+            applied_epochs=d.get("applied_epochs", []),
+            soft_delete=d.get("soft_delete", False),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — retry on latest."""
+
+
+class LakeTable:
+    """Handle to one lake table rooted at a local/DFS path."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------- meta io
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, _META)
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir(), f"v{version:09d}.json")
+
+    def current_version(self) -> int:
+        """Latest committed version (0 = table exists but empty history)."""
+        try:
+            names = os.listdir(self._meta_dir())
+        except FileNotFoundError:
+            raise FileNotFoundError(f"not a lake table: {self.root}") from None
+        vs = [int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")]
+        if not vs:
+            raise FileNotFoundError(f"lake table has no snapshots: {self.root}")
+        return max(vs)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as f:
+            return Snapshot.from_json(f.read())
+
+    def _commit(self, snap: Snapshot) -> None:
+        """Atomic create-only commit of ``v{N}.json`` via hard link."""
+        os.makedirs(self._meta_dir(), exist_ok=True)
+        tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._snap_path(snap.version))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {snap.version} already committed at {self.root}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------ create
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType | str,
+        key_columns: list[str],
+        order_columns: list[str],
+        n_buckets: int = 64,
+        soft_delete: bool = False,
+    ) -> "LakeTable":
+        """Create an empty table.
+
+        ``order_columns`` define per-key recency (the CDC engine uses
+        ``[warc_ts, lsn]``): a matched MERGE row only wins if its
+        order tuple is >= the target's (out-of-order protection,
+        SURVEY §2.9 ST6).  ``soft_delete`` keeps tombstones (see
+        Snapshot) — the CDC sink turns it on.
+        """
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        t = LakeTable(spark, root)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+        snap = Snapshot(
+            version=1,
+            parent=None,
+            schema_versions=[_SchemaVersion(1, fields)],
+            current_schema=1,
+            n_buckets=n_buckets,
+            key_columns=list(key_columns),
+            order_columns=list(order_columns),
+            files={},
+            summary={"operation": "create"},
+            soft_delete=soft_delete,
+        )
+        t._commit(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        meta = os.path.join(root, _META)
+        return os.path.isdir(meta) and any(
+            n.startswith("v") and n.endswith(".json") for n in os.listdir(meta)
+        )
+
+    # -------------------------------------------------------------- read
+
+    def schema(self, snap: Snapshot | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return self._schema_version(snap, snap.current_schema).struct()
+
+    def _schema_version(self, snap: Snapshot, version: int) -> _SchemaVersion:
+        for sv in snap.schema_versions:
+            if sv.version == version:
+                return sv
+        raise KeyError(f"schema version {version} not in snapshot {snap.version}")
+
+    def bucket_expr(self, snap: Snapshot | None = None) -> F.Column:
+        snap = snap or self.snapshot()
+        return F.pmod(F.xxhash64(*snap.key_columns), F.lit(snap.n_buckets)).cast("int")
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        with_bucket: bool = False,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read the table at a snapshot, optionally pruned to buckets.
+
+        Bucket pruning is the scale lever: a MERGE whose source batch
+        hashes into k of N buckets scans only those buckets' files.
+        Old-schema files are re-aliased by field id and cast to the
+        current types, then unioned — no rewrite on evolution.
+
+        On a soft-delete table, tombstone rows are filtered out unless
+        ``include_deleted`` (the MERGE reads them to enforce ordering).
+        """
+        snap = self.snapshot(version)
+        cur = self._schema_version(snap, snap.current_schema)
+        want = {str(b) for b in buckets} if buckets is not None else None
+
+        # group pruned file list by writer schema version
+        by_sv: dict[int, list[str]] = {}
+        for b, flist in snap.files.items():
+            if want is not None and b not in want:
+                continue
+            for fe in flist:
+                by_sv.setdefault(fe["schema_version"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+
+        parts: list[DataFrame] = []
+        for sv_id, paths in sorted(by_sv.items()):
+            sv = self._schema_version(snap, sv_id)
+            read_schema = sv.struct().add(_BUCKET_COL, T.IntegerType(), True)
+            if snap.soft_delete:
+                read_schema = read_schema.add(_DELETED_COL, T.BooleanType(), True)
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+            sv_by_id = sv.by_id()
+            cols = []
+            for f in cur.fields:
+                fid = f["id"]
+                if fid in sv_by_id:
+                    cols.append(
+                        F.col(sv_by_id[fid]["name"])
+                        .cast(f["type"])
+                        .alias(f["name"])
+                    )
+                else:  # column added after these files were written
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            cols.append(F.col(_BUCKET_COL))
+            if snap.soft_delete:
+                cols.append(F.coalesce(F.col(_DELETED_COL), F.lit(False)).alias(_DELETED_COL))
+            parts.append(df.select(*cols))
+
+        if not parts:
+            schema = cur.struct().add(_BUCKET_COL, T.IntegerType(), True)
+            if snap.soft_delete:
+                schema = schema.add(_DELETED_COL, T.BooleanType(), True)
+            out = self.spark.createDataFrame([], schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+
+        if snap.soft_delete and not include_deleted:
+            out = out.where(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+        if not with_bucket:
+            out = out.drop(_BUCKET_COL)
+        return out
+
+    # ------------------------------------------------------------- write
+
+    def _write_delta(
+        self, df: DataFrame, version: int, schema_version: int
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Write a dataframe (with ``_bucket`` col) as one delta dir.
+
+        Returns bucket -> file-entry list.  ``_bucket`` is duplicated
+        into the partition dir column ``pb`` *and* kept as a data
+        column, so explicit-file-list reads need no basePath partition
+        discovery.  Callers repartition by ``_bucket`` first so each
+        bucket lands in a single task → one file per touched bucket
+        per commit (bounded file counts at scale; compaction below).
+        """
+        delta = f"delta-{version:09d}"
+        out_dir = os.path.join(self.root, _DATA, delta)
+        (
+            df.withColumn(_PART_DIR_COL, F.col(_BUCKET_COL))
+            .write.partitionBy(_PART_DIR_COL)
+            .mode("error")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[dict[str, Any]]] = {}
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith(f"{_PART_DIR_COL}="):
+                continue
+            b = d.split("=", 1)[1]
+            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {
+                            "path": os.path.join(_DATA, delta, d, fn),
+                            "schema_version": schema_version,
+                        }
+                    )
+        return files
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Plain append (no key semantics) — used for initial loads."""
+        snap = self.snapshot()
+        cur = self._schema_version(snap, snap.current_schema)
+        new_version = snap.version + 1
+        extra = (
+            [F.lit(False).alias(_DELETED_COL)] if snap.soft_delete else []
+        )
+        with_bucket = df.select(
+            *[F.col(f["name"]).cast(f["type"]) for f in cur.fields],
+            self.bucket_expr(snap).alias(_BUCKET_COL),
+            *extra,
+        ).repartition(min(snap.n_buckets, 256), _BUCKET_COL)
+        new_files = self._write_delta(with_bucket, new_version, snap.current_schema)
+        files = {b: list(fl) for b, fl in snap.files.items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        out = Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_versions=snap.schema_versions,
+            current_schema=snap.current_schema,
+            n_buckets=snap.n_buckets,
+            key_columns=snap.key_columns,
+            order_columns=snap.order_columns,
+            files=files,
+            summary={"operation": "append", **(summary or {})},
+            applied_epochs=list(snap.applied_epochs),
+            soft_delete=snap.soft_delete,
+        )
+        self._commit(out)
+        return out
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int],
+        summary: dict[str, Any] | None = None,
+        epoch_id: str | None = None,
+        base_snapshot: Snapshot | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot replacing the files of ``touched_buckets``
+        with ``df`` (which must carry ``_bucket``); all other buckets
+        keep their existing files untouched.  This is the commit half
+        of MERGE."""
+        snap = base_snapshot or self.snapshot()
+        new_version = snap.version + 1
+        new_files = self._write_delta(
+            df.repartition(min(max(len(touched_buckets), 1), 256), _BUCKET_COL),
+            new_version,
+            snap.current_schema,
+        )
+        touched = {str(b) for b in touched_buckets}
+        files = {b: list(fl) for b, fl in snap.files.items() if b not in touched}
+        for b, fl in new_files.items():
+            files[b] = fl
+        applied = list(snap.applied_epochs)
+        if epoch_id is not None:
+            applied.append(epoch_id)
+        out = Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_versions=snap.schema_versions,
+            current_schema=snap.current_schema,
+            n_buckets=snap.n_buckets,
+            key_columns=snap.key_columns,
+            order_columns=snap.order_columns,
+            files=files,
+            summary={"operation": "merge", **(summary or {})},
+            applied_epochs=applied,
+            soft_delete=snap.soft_delete,
+        )
+        self._commit(out)
+        return out
+
+    # --------------------------------------------------- schema evolution
+
+    def _evolve(self, mutate, op: str) -> Snapshot:
+        snap = self.snapshot()
+        cur = self._schema_version(snap, snap.current_schema)
+        new_fields = mutate([dict(f) for f in cur.fields])
+        new_sv = _SchemaVersion(snap.current_schema + 1, new_fields)
+        out = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema_versions=snap.schema_versions + [new_sv],
+            current_schema=new_sv.version,
+            n_buckets=snap.n_buckets,
+            key_columns=snap.key_columns,
+            order_columns=snap.order_columns,
+            files=snap.files,
+            summary={"operation": op},
+            applied_epochs=list(snap.applied_epochs),
+            soft_delete=snap.soft_delete,
+        )
+        self._commit(out)
+        return out
+
+    def add_column(self, name: str, dtype: str) -> Snapshot:
+        def mutate(fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column exists: {name}")
+            nid = max(f["id"] for f in fields) + 1
+            fields.append({"id": nid, "name": name, "type": dtype})
+            return fields
+
+        return self._evolve(mutate, f"add_column {name} {dtype}")
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        def mutate(fields):
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise ValueError(f"no such column: {old}")
+            if new in names:
+                raise ValueError(f"column exists: {new}")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            return fields
+
+        snap = self._evolve(mutate, f"rename_column {old} {new}")
+        return snap
+
+    def widen_column(self, name: str, new_type: str) -> Snapshot:
+        def mutate(fields):
+            for f in fields:
+                if f["name"] == name:
+                    if not _can_widen(f["type"], new_type):
+                        raise ValueError(
+                            f"cannot widen {name}: {f['type']} -> {new_type}"
+                        )
+                    f["type"] = new_type
+                    return fields
+            raise ValueError(f"no such column: {name}")
+
+        return self._evolve(mutate, f"widen_column {name} {new_type}")
+
+    # ------------------------------------------------------- maintenance
+
+    def compact(self, max_files_per_bucket: int = 1) -> Snapshot | None:
+        """Rewrite buckets whose file count exceeds the target.
+
+        Append-heavy histories accumulate files per bucket; at scale
+        this runs as a background job per bucket-range.  No-op if
+        every bucket is already compact."""
+        snap = self.snapshot()
+        fat = [
+            int(b) for b, fl in snap.files.items() if len(fl) > max_files_per_bucket
+        ]
+        if not fat:
+            return None
+        df = self.read(buckets=fat, with_bucket=True, include_deleted=True)
+        return self.replace_buckets(
+            df, fat, summary={"operation": "compact"}, base_snapshot=snap
+        )
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
