@@ -1,0 +1,256 @@
+"""Document deduplication family: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Everything here is pure Catalyst column expressions over arrays — no
+Python UDFs — so the hot path stays JVM-side and whole-stage-codegen.
+Hash base is md5 (bit-identical in Spark and DuckDB), so every
+operator has an exact cross-engine oracle.
+
+Scale notes per operator are on the functions; the common theme:
+shingle/signature explosion is bounded per document (k perms, b
+bands), candidate generation is an equi-join on (band, hash) — a
+shuffle on a well-distributed key — and only candidates pay the
+verification cost.
+
+The reference's dedup is key-based only (A1/A2: dedupe_properties.py,
+notebook cell 4); the content-based family generalizes it per the
+training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: modulus for the MinHash permutation family
+# (a_i * h + b_i) mod P.  Small deterministic a/b below are shared
+# with the DuckDB oracle SQL.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def _hash64(c: Column) -> Column:
+    """Portable 48-bit string hash: first 12 hex chars of md5.
+
+    48 bits keeps the MinHash permutation ``a*h + b`` under 2^63
+    (ANSI overflow-safe) while staying collision-safe for corpus-scale
+    shingle sets.  DuckDB twin: ``('0x' || substr(md5(x), 1, 12))::bigint``.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+
+
+def normalized_text(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per normalized text value.
+
+    Hash-groupBy with partial aggregation — the classic exact dedup;
+    at 100 TB, group on the md5 of the text (shuffles 16 bytes per
+    row, not the document)."""
+    h = F.md5(normalized_text(text_col)).alias("_th")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.select(h, F.col(id_col).alias("_id"), row.alias("_row"))
+        .groupBy("_th")
+        .agg(F.min_by("_row", F.col("_id")).alias("_row"))
+        .select("_row.*")
+    )
+
+
+def shingles_expr(col: str | Column, n: int = 3) -> Column:
+    """n-token shingles of normalized text, as an array of strings.
+
+    DuckDB twin: tokens via ``regexp_split_to_array``, shingles via
+    ``list_transform(range(...), i -> array_to_string(tokens[i:i+n-1]
+    , ' '))`` (see oracle SQL).
+    """
+    toks = F.split(normalized_text(col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def minhash_signature_expr(
+    col: str | Column, num_perm: int = 16, shingle_n: int = 3
+) -> Column:
+    """MinHash signature: array of ``num_perm`` bigints.
+
+    perm_i(h) = (a_i * h + b_i) mod 2^61-1 with a_i = 2i+1,
+    b_i = 1000003*i (deterministic, coprime to P) over the portable
+    shingle hash.  min per permutation.
+    """
+    sh = shingles_expr(col, shingle_n)
+    hashes = F.transform(sh, lambda s: _hash64(s))
+    sigs = []
+    for i in range(num_perm):
+        a, b = 2 * i + 1, 1000003 * i
+        sigs.append(
+            F.array_min(
+                F.transform(hashes, lambda h: (h * a + b) % MERSENNE_61)
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature split into ``bands`` bands of num_perm/bands rows; a
+    pair is a candidate iff some band's sub-signature matches
+    exactly.  Join key is (band_id, md5(band values)) — short, well
+    distributed; the self-join never sees full documents, only
+    (id, band hash).  Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_expr(text_col, num_perm, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    band_cols = []
+    for b in range(bands):
+        band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    band_vals.getItem(i).cast("string") for i in range(rows_per_band)
+                ])).alias("bh"),
+            )
+        )
+    banded = with_sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("_id", "b.band", "b.bh")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_expr(col: str | Column, bits: int = 16) -> Column:
+    """SimHash over tokens: bit j set iff sum over tokens of
+    (bit j of token hash ? +1 : -1) > 0.
+
+    ``bits`` kept small (16) so the expression stays compact and the
+    oracle SQL tractable; collision behavior is the same shape as 64.
+    """
+    toks = F.split(normalized_text(col), r"\s+")
+    hashes = F.transform(toks, lambda t: _hash64(t))
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(0).cast("bigint")
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on
+    shingle, count intersections per pair, divide by union sizes.
+    The shuffle key is the shingle — fine at scale after dropping
+    ultra-frequent shingles (a stop-shingle filter is the standard
+    guard; omitted here for exact-oracle parity).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    l = sh.alias("l")
+    r = sh.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.sh") == F.col("r.sh"), F.col("l._id") < F.col("r._id")])
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Brute-force all-pairs within the frame — correct baseline, O(n²);
+    the scale path buckets by LSH first (similarity.lsh_bucketed_knn
+    shares the plane machinery).  Cosine is computed JVM-side with
+    zip_with + aggregate.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    norm = lambda x: F.sqrt(dot(x, x))
+    cos = dot(F.col("a._v"), F.col("b._v")) / (
+        norm(F.col("a._v")) * norm(F.col("b._v"))
+    )
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

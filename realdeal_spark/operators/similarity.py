@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_knn` — exact cosine top-k, the correctness
+  baseline.  All arithmetic is Catalyst (zip_with/aggregate), so the
+  scan is JVM-side; the per-query ranking is a window over a crossJoin
+  restricted to the (small) query set — broadcast the queries.
+- :func:`lsh_bucketed_knn` — the scale path: random-hyperplane LSH
+  buckets both sides; candidates only within matching buckets, then
+  exact cosine rank.  Planes are derived deterministically from md5,
+  so results are reproducible and oracle-expressible.  Recall < 1 by
+  construction (that's the trade); raise n_planes→smaller buckets,
+  lower→higher recall.
+
+At 100 TB the corpus side stays partitioned; only the query side is
+broadcast.  An IVF variant would replace the hash with learned
+centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z
+    )
+
+
+def cosine_expr(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine per query vector.
+
+    Output: (query_id, vec_id, cosine, rank).  Excludes self-matches.
+    Queries are broadcast (small side by contract)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")  # deterministic tiebreak
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """LSH bucket id: sign bits against ``n_planes`` deterministic
+    ±1-component hyperplanes (component j of plane p = +1 iff
+    md5-derived hash of (p, j) is even).
+
+    Integer-exact given exact vector values, hence reproducible and
+    expressible in the DuckDB oracle with the same md5 arithmetic.
+    """
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        comp = [
+            F.when(
+                F.conv(F.substring(F.md5(F.lit(f"plane-{p}-{j}")), 1, 15), 16, 10)
+                .cast("bigint") % 2 == 0,
+                1.0,
+            ).otherwise(-1.0)
+            for j in range(dim)
+        ]
+        proj = sum(
+            [vec.getItem(j) * comp[j] for j in range(dim)], F.lit(0.0)
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Join on bucket id (an int) instead of a crossJoin — candidate set
+    shrinks ~2^n_planes-fold; exact cosine re-rank inside buckets."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("bucket", hyperplane_bits_expr(F.col("_cv"), dim, n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("bucket", hyperplane_bits_expr(F.col("_qv"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

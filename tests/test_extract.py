@@ -1,0 +1,91 @@
+"""Extraction invariants: byte-identical text between the pandas UDF
+and a local run of the same pure function (the per-row invariant);
+text-stat expressions sane on fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realdeal_spark.cdc.events import generate_change_events
+from realdeal_spark.extract.html_text import extract_text, with_text
+from realdeal_spark.extract.textstats import (
+    detect_lang_expr,
+    fingerprint_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+FIXTURES = {
+    "boilerplate_only": b"<html><head><title>x</title></head><body>"
+    b"<nav><a href='/'>home</a></nav><footer>foot</footer></body></html>",
+    "body_and_nav": b"<html><body><nav>menu</nav><div><p>Hello   world</p>"
+    b"<p>Second&nbsp;para &amp; more</p></div></body></html>",
+    "scripts_styles": b"<html><head><script>var a=1;</script>"
+    b"<style>p{}</style></head><body><p>Visible</p></body></html>",
+    "empty_body": b"<html><body></body></html>",
+    "non_utf8": "caf\xe9 <p>ol\xe9</p>".encode("latin-1"),
+    "nested_script": b"<body><script>if(a<b){x()}</script><p>Keep</p></body>",
+}
+
+
+def test_extract_text_golden():
+    assert extract_text(FIXTURES["boilerplate_only"]) == ""
+    assert extract_text(FIXTURES["body_and_nav"]) == "Hello world\nSecond\xa0para & more"
+    assert extract_text(FIXTURES["scripts_styles"]) == "Visible"
+    assert extract_text(FIXTURES["empty_body"]) == ""
+    assert extract_text(FIXTURES["nested_script"]) == "Keep"
+    assert extract_text(None) is None
+    # replacement char for undecodable bytes, never an exception
+    assert "caf" in extract_text(FIXTURES["non_utf8"])
+
+
+def test_udf_matches_pure_function_byte_identical(spark):
+    """The per-row invariant (input_hint): UDF output == local oracle."""
+    ev = generate_change_events(spark, n_events=300, n_urls=100).where(
+        F.col("html").isNotNull()
+    )
+    got = with_text(ev).select("url", "lsn", "html", "text").collect()
+    assert len(got) > 0
+    for r in got:
+        oracle = extract_text(bytes(r["html"]))
+        assert r["text"] == oracle, r["url"]
+        assert r["text"].encode() == oracle.encode()
+
+
+def test_extracted_text_drops_boilerplate(spark):
+    ev = generate_change_events(spark, n_events=50, n_urls=10).where(
+        F.col("html").isNotNull()
+    )
+    texts = [r["text"] for r in with_text(ev).select("text").collect()]
+    for t in texts:
+        assert "var x=1" not in t  # script stripped
+        assert "example corp" not in t  # footer stripped
+        assert "home" not in t.split("\n")[0][:5]  # nav stripped
+        assert "body words" in t  # content kept
+
+
+def test_textstats_exprs(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house is that it for it", "en"),
+            ("el perro y la casa de que un por con los", "es"),
+            ("", "und"),
+            ("zzz qqq xxx", "und"),
+        ],
+        "text string, want string",
+    )
+    out = df.select(
+        "want",
+        detect_lang_expr("text").alias("lang"),
+        token_count_expr("text").alias("tc"),
+        quality_score_expr("text").alias("q"),
+        fingerprint_expr("text").alias("fp"),
+    ).collect()
+    for r in out:
+        assert r["lang"] == r["want"]
+        assert r["q"] is None or 0.0 <= r["q"] <= 1.0
+    by_want = {r["want"]: r for r in out}
+    assert by_want["und"]["tc"] in (0, 3)
+    # fingerprint is stable + distinct across texts
+    fps = [r["fp"] for r in out if r["fp"] is not None]
+    assert len(set(fps)) == len(fps)
