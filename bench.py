@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "merge_events_per_sec": ..., "cpus": ...}
+
+The headline metric of the engine (BASELINE.json) is sustained
+MERGE-apply throughput, reported as ``merge_events_per_sec`` —
+computed from the ``cdc_merge_replay`` query, which replays the full
+change log through the lake-table MERGE path in lsn-range epochs.
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``tools/bench_scaling.py`` which shells out to this file at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from realdeal_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "cdc_merge_replay",
+    "cdc_latest_state",
+    "cdc_conflate_window_salted",
+    "cdc_find_new",
+    "agg_pricing_summary",
+    "join_orders_revenue",
+    "rel_topk_per_key",
+    "text_stats",
+    "extract_html_text",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        "realdeal-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    merge_eps = round(n_events / timings["cdc_merge_replay"], 1)
+    out = {
+        "metric": "headline-suite wall time (CDC merge-replay + operator family)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "merge_events_per_sec": merge_eps,
+        "merge_events": n_events,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

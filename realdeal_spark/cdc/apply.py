@@ -80,12 +80,16 @@ class CdcApplier:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
         conflate_strategy: str = "max_by",
+        auto_evolve: bool = False,
+        renames: dict[str, str] | None = None,
     ):
         self.table = table
         self.lsn_col = lsn_col
         self.transform = transform
         self.column_merge = column_merge
         self.conflate_strategy = conflate_strategy
+        self.auto_evolve = auto_evolve
+        self.renames = renames
         self.reports: list[EpochReport] = []
 
     # ------------------------------------------------------------ state
@@ -147,6 +151,10 @@ class CdcApplier:
         )
         if self.transform is not None:
             conflated = self.transform(conflated)
+        if self.auto_evolve:
+            from realdeal_spark.cdc.evolve import reconcile
+
+            reconcile(self.table, conflated.schema, self.renames)
         res: MergeResult = merge_apply(
             self.table,
             conflated,

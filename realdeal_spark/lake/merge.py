@@ -93,6 +93,12 @@ def merge_apply(
         )
     cur_fields = table._schema_version(snap, snap.current_schema).fields
     data_cols = [f["name"] for f in cur_fields]
+    if OP_COL in data_cols:
+        raise ValueError(
+            f"table has a data column named '{OP_COL}', which collides "
+            "with the change-event envelope; store it under another "
+            "name (e.g. 'last_op')"
+        )
     key_cols = snap.key_columns
     order_cols = snap.order_columns
     src_cols = set(source.columns)

@@ -1,0 +1,69 @@
+"""Batch source/sink connectors (SURVEY §2.1).
+
+The reference moves every stage boundary through JSON-array files
+(``"[%s]" % ",\\n".join(json.dumps(p) ...)`` at
+realdeal/luigi/find_new_properties.py:51-52 and 7 more sites) and
+reports through header-first CSVs (realdeal/luigi/write_csv.py:19-24)
+including a one-file-per-region partitioned variant
+(realdeal/luigi/scrape_redfin.py:47-57).  Here each is the built-in
+DataFrame reader/writer with an explicit schema — schema-on-read
+replaces the reference's schema-on-write dict discipline.
+
+Scheme dispatch (s3 vs local, realdeal/luigi/target_factory.py:20-40)
+is free: Spark's Hadoop FS layer resolves ``s3a://`` / ``file://`` /
+``hdfs://`` from the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_json_batch(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSON batch scan with explicit schema (S1).
+
+    ``multiLine=True`` accepts the reference's JSON-*array* file shape
+    (one array per file), while still reading JSONL if given.
+    An explicit schema is required: schema inference is a full extra
+    pass over the data — never acceptable at scale.
+    """
+    return spark.read.schema(schema).option("multiLine", "true").json(path)
+
+
+def write_json_batch(df: DataFrame, path: str, mode: str = "error") -> None:
+    """JSONL sink (S2). One object per line — the scale-correct
+    re-expression of the reference's single JSON array (an array
+    forces whole-file buffering; lines stream and split)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    fieldnames: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Header CSV sink with fixed column order (S7: write_csv.py's
+    ``csv.DictWriter(fieldnames=...)``)."""
+    out = df.select(*fieldnames) if fieldnames else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_partitioned_csv(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    fieldnames: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """One directory per partition value (S8: per-region
+    ``sales_records_%d.csv``).  ``partitionBy`` prunes on read and
+    parallelizes on write; the reference's extra union-all file is the
+    unpartitioned read of the same directory."""
+    cols = fieldnames if fieldnames else [c for c in df.columns if c != partition_col]
+    df.select(partition_col, *cols).write.mode(mode).partitionBy(
+        partition_col
+    ).option("header", "true").csv(path)

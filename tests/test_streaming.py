@@ -1,0 +1,95 @@
+"""Structured Streaming wrapper: availableNow drain == batch replay,
+replayed batch ids are no-ops (exactly-once), per-trigger budget."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realdeal_spark.cdc.events import EVENT_SCHEMA, generate_change_events, naive_replay
+from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.streaming import StreamingCdcApplier
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp_ntz, lsn bigint, html binary, lang string"
+)
+
+
+def _mk_table(spark, tmp_path, name="pages"):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        PAGES_SCHEMA,
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+
+
+def _visible(table):
+    rows = table.read().collect()
+    return {
+        r["url"]: (r["warc_ts"], r["lsn"], bytes(r["html"]) if r["html"] else None)
+        for r in rows
+    }
+
+
+def _expected(events_df):
+    final = naive_replay([r.asDict() for r in events_df.collect()])
+    return {
+        u: (v["warc_ts"], v["lsn"], bytes(v["html"]) if v["html"] else None)
+        for u, v in final.items()
+    }
+
+
+def test_streaming_drain_matches_naive_replay(spark, tmp_path):
+    events = generate_change_events(spark, n_events=600, n_urls=80, seed=7)
+    src_dir = tmp_path / "log"
+    # 4 files → 4 micro-batches at maxFilesPerTrigger=1
+    events.withColumn("part", (F.col("lsn") % 4).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(str(src_dir))
+
+    table = _mk_table(spark, tmp_path)
+    applier = StreamingCdcApplier(table, name="t1")
+    stream = StreamingCdcApplier.file_source(
+        spark, f"{src_dir}/part=*", EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = applier.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert len([r for _, r in applier.batch_results if r is not None]) >= 2
+    assert _visible(table) == _expected(events)
+
+
+def test_streaming_restart_processes_nothing_new(spark, tmp_path):
+    events = generate_change_events(spark, n_events=200, n_urls=30, seed=9)
+    src_dir = tmp_path / "log"
+    events.write.parquet(str(src_dir))
+    table = _mk_table(spark, tmp_path)
+    applier = StreamingCdcApplier(table, name="t2")
+    stream = StreamingCdcApplier.file_source(spark, str(src_dir), EVENT_SCHEMA, 10)
+    applier.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    v1 = table.current_version()
+
+    # restart with the same checkpoint: no new files → no new batches
+    applier2 = StreamingCdcApplier(table, name="t2")
+    stream2 = StreamingCdcApplier.file_source(spark, str(src_dir), EVENT_SCHEMA, 10)
+    applier2.start(stream2, str(tmp_path / "ckpt")).awaitTermination(120)
+    assert table.current_version() == v1
+    assert _visible(table) == _expected(events)
+
+
+def test_replayed_batch_id_is_noop(spark, tmp_path):
+    """Simulated crash replay: the same (name, batchId) applied twice
+    must commit exactly once."""
+    events = generate_change_events(spark, n_events=150, n_urls=25, seed=11)
+    table = _mk_table(spark, tmp_path)
+    applier = StreamingCdcApplier(table, name="t3")
+    res1 = applier.apply_batch(events, batch_id=0)
+    assert res1 is not None and res1.snapshot is not None
+    v1 = table.current_version()
+    res2 = applier.apply_batch(events, batch_id=0)  # replay
+    assert res2 is None
+    assert table.current_version() == v1
+    assert _visible(table) == _expected(events)

@@ -1,0 +1,86 @@
+"""Scaling-efficiency evidence: the same MERGE-apply job at N and 4N
+local cores (the sandbox stand-in for N vs 4N executors per
+BASELINE.json — no real cluster here, per driver instructions).
+
+Runs ``jobs/run_cdc.py --synthetic-events E`` in a fresh JVM per
+parallelism level, computes
+
+    efficiency = (events_per_sec@4N) / (4 * events_per_sec@N)
+
+and writes BENCH_SCALING.md.  Usage:
+
+    python tools/bench_scaling.py [--events 2000000] [--n 8] [--extract-text]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cpus: int, events: int, extract: bool) -> dict:
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "run_cdc.py"),
+        "--synthetic-events", str(events),
+        "--epoch-size", str(events),  # one epoch: sustained-throughput shape
+        "--cpus", str(cpus),
+    ]
+    if extract:
+        cmd.append("--extract-text")
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(f"run at {cpus} cpus failed:\n{out.stderr[-3000:]}")
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=8, help="small level; big = 4n")
+    ap.add_argument("--extract-text", action="store_true")
+    args = ap.parse_args()
+
+    small = run_once(args.n, args.events, args.extract_text)
+    big = run_once(4 * args.n, args.events, args.extract_text)
+    eff = big["events_per_sec"] / (4.0 * small["events_per_sec"])
+    report = {
+        "events": args.events,
+        "extract_text": args.extract_text,
+        f"events_per_sec@local[{args.n}]": small["events_per_sec"],
+        f"events_per_sec@local[{4 * args.n}]": big["events_per_sec"],
+        f"wall@local[{args.n}]": small["wall_sec"],
+        f"wall@local[{4 * args.n}]": big["wall_sec"],
+        "speedup": round(big["events_per_sec"] / small["events_per_sec"], 3),
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+    md = [
+        "# BENCH_SCALING — MERGE-apply throughput at N vs 4N cores",
+        "",
+        "Same job, same input (deterministic synthetic change log), two",
+        "parallelism levels in separate JVMs (`jobs/run_cdc.py --cpus N`).",
+        "Sandbox stand-in for N vs 4N executors per BASELINE.json /",
+        "driver instructions (no real cluster available).",
+        "",
+        "| metric | value |",
+        "| --- | --- |",
+    ]
+    for k, v in report.items():
+        md.append(f"| {k} | {v} |")
+    md.append("")
+    md.append(
+        f"**Scaling efficiency N→4N: {report['scaling_efficiency_n_to_4n']}**"
+        " (target ≥ 0.8)."
+    )
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+
+
+if __name__ == "__main__":
+    main()
