@@ -408,7 +408,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash_expr("text", bits=16).alias("simhash"))
+    return DD.simhash_frame(d, "text", "doc_id", bits=16)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,10 +576,13 @@ select doc_id, cast({' + '.join(terms)} as bigint) as simhash from hashed
 
 
 def _jaccard_sql(shingle_n: int = 3, threshold: float = 0.8) -> str:
+    h = _H48.format(x="s")
     return f"""
 with corpus as ({_DOUBLED_SQL}),
 sh as (
-  select doc_id as _id, unnest(list_distinct({_shingle_sql(shingle_n)})) as s
+  select doc_id as _id,
+         unnest(list_distinct(list_transform({_shingle_sql(shingle_n)}, s -> {h})))
+           as s
   from corpus),
 sizes as (select _id, count(*) as n from sh group by _id),
 inter as (

@@ -92,8 +92,11 @@ def main(argv: list[str] | None = None) -> dict:
     transform = with_text if args.extract_text else None
     applier = CdcApplier(table, lsn_col="lsn", transform=transform)
 
+    bounds = (0, args.synthetic_events - 1) if args.synthetic_events else None
     t0 = time.monotonic()
-    reports = applier.run(log, epoch_size=args.epoch_size, max_epochs=args.max_epochs)
+    reports = applier.run(
+        log, epoch_size=args.epoch_size, max_epochs=args.max_epochs, lsn_bounds=bounds
+    )
     wall = time.monotonic() - t0
     for r in reports:
         print(r.to_json(), file=sys.stderr)

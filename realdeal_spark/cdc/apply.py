@@ -27,7 +27,7 @@ import time
 from dataclasses import asdict, dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from realdeal_spark.cdc.conflate import conflate
@@ -142,7 +142,11 @@ class CdcApplier:
         batch = events.where(
             (F.col(self.lsn_col) >= lsn_start) & (F.col(self.lsn_col) <= lsn_end)
         )
-        n_in = batch.count()
+        # events_in rides the merge job as an Observation instead of a
+        # dedicated count() — at scale that saves one full scan of the
+        # batch per epoch.
+        obs = Observation(f"epoch-{epoch_id}")
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         conflated = conflate(
             batch,
             snap.key_columns,
@@ -160,8 +164,9 @@ class CdcApplier:
             conflated,
             column_merge=self.column_merge,
             epoch_id=epoch_id,
-            extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end, "events_in": n_in},
+            extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
         )
+        n_in = int(obs.get["n"])
         n_conflated = res.inserted + res.updated + res.deleted + res.unchanged + res.stale
         return self._record(
             EpochReport(
@@ -188,6 +193,7 @@ class CdcApplier:
         epoch_size: int,
         max_epochs: int | None = None,
         from_lsn: int | None = None,
+        lsn_bounds: tuple[int, int] | None = None,
     ) -> list[EpochReport]:
         """Tail the log in fixed lsn-range epochs until exhausted.
 
@@ -201,16 +207,23 @@ class CdcApplier:
         start = (self.last_applied_lsn() + 1) if from_lsn is None else from_lsn
         # align to deterministic epoch grid
         start = (start // epoch_size) * epoch_size
-        # one aggregation finds the non-empty grid cells — sparse lsn
-        # ranges (compacted logs, retention-trimmed tails) don't cost
-        # a merge round-trip per empty cell.
-        cells = sorted(
-            r[0]
-            for r in log.where(F.col(self.lsn_col) >= start)
-            .select(F.floor(F.col(self.lsn_col) / epoch_size).alias("c"))
-            .distinct()
-            .collect()
-        )
+        if lsn_bounds is not None:
+            # caller knows the log's lsn range (a binlog tail always
+            # does) — skip the discovery scan entirely.
+            lo, hi = lsn_bounds
+            lo = max(lo, start)
+            cells = list(range(lo // epoch_size, hi // epoch_size + 1))
+        else:
+            # one aggregation finds the non-empty grid cells — sparse
+            # lsn ranges (compacted logs, retention-trimmed tails)
+            # don't cost a merge round-trip per empty cell.
+            cells = sorted(
+                r[0]
+                for r in log.where(F.col(self.lsn_col) >= start)
+                .select(F.floor(F.col(self.lsn_col) / epoch_size).alias("c"))
+                .distinct()
+                .collect()
+            )
         if max_epochs is not None:
             cells = cells[:max_epochs]
         out = []

@@ -122,8 +122,14 @@ def merge_apply(
         F.col(OP_COL),
     ).withColumn(_BUCKET_COL, table.bucket_expr(snap))
 
+    # persist the conflated batch: it is read by the touched-bucket
+    # probe, the join, and (via the resolved cache) nothing else — one
+    # materialization instead of re-running conflation (and whatever
+    # upstream extraction feeds it) per phase.
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
     if not touched:
+        src.unpersist()
         return MergeResult(snapshot=None)
 
     tgt = table.read(buckets=touched, with_bucket=True, include_deleted=True)
@@ -242,3 +248,4 @@ def merge_apply(
         return result
     finally:
         resolved.unpersist()
+        src.unpersist()

@@ -48,17 +48,21 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the min-id representative per normalized text value.
 
-    Hash-groupBy with partial aggregation — the classic exact dedup;
-    at 100 TB, group on the md5 of the text (shuffles 16 bytes per
-    row, not the document)."""
+    Two narrow passes instead of carrying documents through the
+    aggregate: (1) hash-groupBy min(id) — a fixed-width HashAggregate
+    with map-side partial agg, shuffling (16B hash, 8B id) per row,
+    never the document; (2) left-semi join the surviving ids back.
+    (An earlier min_by(full-row-struct) form planned as SortAggregate
+    and shuffled whole documents — 5× slower at bench scale and
+    pathological at 100 TB.)"""
     h = F.md5(normalized_text(text_col)).alias("_th")
-    row = F.struct(*[F.col(c) for c in df.columns])
-    return (
-        df.select(h, F.col(id_col).alias("_id"), row.alias("_row"))
+    survivors = (
+        df.select(h, F.col(id_col).alias("_id"))
         .groupBy("_th")
-        .agg(F.min_by("_row", F.col("_id")).alias("_row"))
-        .select("_row.*")
+        .agg(F.min("_id").alias(id_col))
+        .select(id_col)
     )
+    return df.join(survivors, on=id_col, how="left_semi")
 
 
 def shingles_expr(col: str | Column, n: int = 3) -> Column:
@@ -97,6 +101,36 @@ def minhash_signature_expr(
     return F.array(*sigs)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, _sig array) via **staged projections**: text → shingles →
+    hashes → 16 permutation minima, one select each, every expensive
+    alias referenced more than once downstream.  The staging is
+    load-bearing: multi-referenced non-cheap aliases block Catalyst's
+    CollapseProject, so the shingle/md5 arrays are computed once per
+    row; a single fused expression tree re-evaluated them per
+    permutation and per band (23× slower at bench — see BENCH notes).
+    """
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MERSENNE_61
+
+    sigs = []
+    for i in range(num_perm):
+        sigs.append(F.array_min(F.transform("_hs", perm(2 * i + 1, 1000003 * i))))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), shingles_expr(text_col, shingle_n).alias("_sh")
+        )
+        .select("_id", F.transform("_sh", _hash64).alias("_hs"))
+        .select("_id", F.array(*sigs).alias("_sig"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -111,11 +145,12 @@ def minhash_lsh_pairs(
     pair is a candidate iff some band's sub-signature matches
     exactly.  Join key is (band_id, md5(band values)) — short, well
     distributed; the self-join never sees full documents, only
-    (id, band hash).  Output: (id_a, id_b) with id_a < id_b, distinct.
+    (id, band hash), and the banded frame is persisted so the two
+    join sides share one signature computation.
+    Output: (id_a, id_b) with id_a < id_b, distinct.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature_expr(text_col, num_perm, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     band_cols = []
     for b in range(bands):
         band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
@@ -130,6 +165,9 @@ def minhash_lsh_pairs(
     banded = with_sig.select(
         "_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("_id", "b.band", "b.bh")
+    # persist: both self-join sides read one materialization (at
+    # cluster scale this is a temp-table checkpoint of ~50B/doc/band)
+    banded = banded.persist()
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
@@ -145,6 +183,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def simhash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) with the token-hash array staged once (same
+    CollapseProject reasoning as minhash_signatures — the one-shot
+    :func:`simhash_expr` re-hashes the tokens per bit)."""
+    def bit_vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j) % 2 == 1, 1
+        ).otherwise(-1)
+
+    votes = []
+    for j in range(bits):
+        vote = F.aggregate(F.col("_hs"), F.lit(0).cast("bigint"), bit_vote(j))
+        votes.append(F.when(vote > 0, F.lit(1 << j)).otherwise(0).cast("bigint"))
+    toks = F.split(normalized_text(text_col), r"\s+")
+    out = votes[0]
+    for v in votes[1:]:
+        out = out + v
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(id_col, F.transform("_tk", _hash64).alias("_hs"))
+        .select(id_col, out.alias("simhash"))
+    )
 
 
 def simhash_expr(col: str | Column, bits: int = 16) -> Column:
@@ -184,12 +248,20 @@ def ngram_jaccard_pairs(
     guard; omitted here for exact-oracle parity).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # shingles are hashed to 48-bit ints before the explode: the
+    # inverted-index self-join shuffles 8-byte keys instead of ~20-byte
+    # strings, and the frame is persisted so index, sizes, and both
+    # join sides share one shingling pass.
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("sh"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles_expr(text_col, shingle_n), _hash64)
+                )
+            ).alias("sh"),
         )
-    )
+    ).persist()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     l = sh.alias("l")
     r = sh.alias("r")

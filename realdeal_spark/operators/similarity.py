@@ -68,26 +68,33 @@ def brute_force_knn(
     )
 
 
+def plane_sign(p: int, j: int) -> float:
+    """Component j of hyperplane p: +1 iff the md5 of ``plane-{p}-{j}``
+    is even (hashlib.md5 == Spark md5 == DuckDB md5 on the same
+    bytes, so the oracle regenerates the identical planes)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
 def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """LSH bucket id: sign bits against ``n_planes`` deterministic
-    ±1-component hyperplanes (component j of plane p = +1 iff
-    md5-derived hash of (p, j) is even).
+    ±1-component hyperplanes.
 
-    Integer-exact given exact vector values, hence reproducible and
-    expressible in the DuckDB oracle with the same md5 arithmetic.
+    The plane components are Python-side constants folded into the
+    plan as ±1 literals — an earlier draft derived them with in-plan
+    md5/conv expressions and paid dim×n_planes hash evaluations *per
+    row* (the expression tree also fell out of whole-stage codegen);
+    constants keep the per-row work at dim×n_planes fused
+    multiply-adds.  Integer-exact given exact vector values, hence
+    reproducible and oracle-expressible.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        comp = [
-            F.when(
-                F.conv(F.substring(F.md5(F.lit(f"plane-{p}-{j}")), 1, 15), 16, 10)
-                .cast("bigint") % 2 == 0,
-                1.0,
-            ).otherwise(-1.0)
-            for j in range(dim)
-        ]
         proj = sum(
-            [vec.getItem(j) * comp[j] for j in range(dim)], F.lit(0.0)
+            [vec.getItem(j) * F.lit(plane_sign(p, j)) for j in range(dim)],
+            F.lit(0.0),
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return bucket

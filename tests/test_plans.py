@@ -1,0 +1,108 @@
+"""Physical-plan invariants: the optimizations the engine relies on at
+scale must actually appear in the plans (SURVEY §4).
+
+These guard against regressions like a filter that stops reaching the
+parquet scan, a dimension join that stops broadcasting, or a
+conflation that loses its map-side partial aggregation — all invisible
+to row-level correctness tests but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realdeal_spark.cdc.conflate import conflate
+from realdeal_spark.operators.relational import find_new, latest_per_key
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.where(F.col("event_type") == "click").select("event_id", "user_id")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in p
+    # column pruning: scan reads only the 3 needed columns
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "value" not in scan and "props" not in scan
+
+
+def test_latest_per_key_uses_partial_aggregation(spark):
+    """max_by conflation must plan as partial+final hash aggregate —
+    the map-side combine is the skew defense (SURVEY §2.4 A1)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(latest_per_key(ev, ["user_id"], ["ts", "event_id"]))
+    # max_by over a struct plans as SortAggregate; what matters is the
+    # partial (map-side) phase before the exchange
+    assert "partial_max_by" in p
+    assert p.count("Aggregate (") >= 2 or p.count("SortAggregate") >= 2
+
+
+def test_conflate_window_salted_two_phase(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(
+        conflate(ev, ["user_id"], ["ts", "event_id"], strategy="window", salt_buckets=8)
+    )
+    # two window operators: within-salt then across-salt
+    assert p.count("row_number") >= 2
+
+
+def test_small_dim_join_broadcasts(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in plan(q)
+
+
+def test_find_new_is_anti_join_not_collect(spark):
+    inc = spark.read.parquet(f"{SF}/events.parquet")
+    ex = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    p = plan(find_new(inc, ex, ["user_id"]))
+    assert "LeftAnti" in p
+
+
+def test_events_generator_is_shuffle_free(spark):
+    """10^10-event generation must stay embarrassingly parallel: the
+    plan may not contain an Exchange."""
+    from realdeal_spark.cdc.events import generate_change_events
+
+    p = plan(generate_change_events(spark, n_events=1000))
+    assert "Exchange" not in p
+    assert "Range" in p
+
+
+def test_lake_read_prunes_buckets(spark, tmp_path):
+    """Bucket-pruned read lists only the pruned buckets' files."""
+    from realdeal_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp_ntz, lsn bigint",
+        ["url"],
+        ["warc_ts", "lsn"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    import datetime as dt
+
+    rows = [(f"u{i}", dt.datetime(2024, 1, 1), i) for i in range(200)]
+    t.append(spark.createDataFrame(rows, "url string, warc_ts timestamp_ntz, lsn bigint"))
+    snap = t.snapshot()
+    some = sorted(int(b) for b in snap.files)[:2]
+    pruned = t.read(buckets=some, with_bucket=True)
+    full = t.read()
+    assert 0 < pruned.count() < full.count()
+    # the pruned scan's file list is strictly smaller
+    n_files_pruned = sum(len(snap.files[str(b)]) for b in some)
+    n_files_all = sum(len(fl) for fl in snap.files.values())
+    assert n_files_pruned < n_files_all
