@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--events", default=None, help="parquet path of the change log")
     ap.add_argument("--synthetic-events", type=int, default=0,
                     help="generate N synthetic events instead of --events")
+    ap.add_argument("--n-urls", type=int, default=0,
+                    help="distinct urls in the synthetic log (default events/20)")
     ap.add_argument("--hot-share", type=int, default=10,
                     help="%% of synthetic events on one hot url (skew)")
     ap.add_argument("--epoch-size", type=int, default=1_000_000)
@@ -57,6 +59,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] master; omit under a cluster manager")
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--conflate", default="light",
+                    choices=["light", "max_by", "window"],
+                    help="conflation strategy (light avoids payload shuffle)")
     args = ap.parse_args(argv)
 
     spark = get_spark(
@@ -67,7 +72,9 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.synthetic_events:
         log = generate_change_events(
-            spark, n_events=args.synthetic_events, n_urls=max(args.synthetic_events // 20, 100),
+            spark,
+            n_events=args.synthetic_events,
+            n_urls=args.n_urls or max(args.synthetic_events // 20, 100),
             hot_share_percent=args.hot_share,
         )
         n_events = args.synthetic_events
@@ -90,7 +97,9 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     transform = with_text if args.extract_text else None
-    applier = CdcApplier(table, lsn_col="lsn", transform=transform)
+    applier = CdcApplier(
+        table, lsn_col="lsn", transform=transform, conflate_strategy=args.conflate
+    )
 
     bounds = (0, args.synthetic_events - 1) if args.synthetic_events else None
     t0 = time.monotonic()

@@ -144,9 +144,16 @@ class CdcApplier:
         )
         # events_in rides the merge job as an Observation instead of a
         # dedicated count() — at scale that saves one full scan of the
-        # batch per epoch.
-        obs = Observation(f"epoch-{epoch_id}")
-        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+        # batch per epoch.  The light conflation references the batch
+        # twice in one DAG (winner-find + semi join), which would
+        # double-count an Observation — there, count on a key-column
+        # projection instead (columnar scan of one column).
+        obs = None
+        if self.conflate_strategy == "light":
+            n_in = batch.select(self.lsn_col).count()
+        else:
+            obs = Observation(f"epoch-{epoch_id}")
+            batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         conflated = conflate(
             batch,
             snap.key_columns,
@@ -166,7 +173,8 @@ class CdcApplier:
             epoch_id=epoch_id,
             extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
         )
-        n_in = int(obs.get["n"])
+        if obs is not None:
+            n_in = int(obs.get["n"])
         n_conflated = res.inserted + res.updated + res.deleted + res.unchanged + res.stale
         return self._record(
             EpochReport(

@@ -38,13 +38,49 @@ def conflate(
     order_columns: list[str],
     strategy: str = "max_by",
     salt_buckets: int | None = None,
+    broadcast_winners: bool = True,
 ) -> DataFrame:
     """One row per key: the max-order-tuple winner.
 
     ``salt_buckets`` only applies to the window strategy; with the
     default ``max_by`` strategy partial aggregation already bounds
     per-partition hot-key volume.
+
+    The ``light`` strategy never shuffles the payload: winners are
+    found on a (key, order) projection only — for a web-page change
+    log that's ~30 bytes/row instead of the ~KBs of html — and a
+    left-semi join on (key, order) pulls the winner rows.  With
+    ``broadcast_winners`` the semi join broadcasts the winner list so
+    the payload side is not shuffled at all (valid while winners-per-
+    epoch fit the broadcast budget — bounded by the per-trigger
+    admission budget, SURVEY ST4; beyond that, drop the broadcast and
+    the semi join shuffles winner rows only, still payload-light on
+    the build side, or switch to a Bloom-filter pushdown).  Requires
+    the order tuple to be unique per key (a binlog lsn guarantees
+    it); profiling: the payload shuffle made conflation *disk*-bound
+    and anti-scaling — see BENCH_SCALING.md.
     """
+    if strategy == "light":
+        # Iterated *scalar* max per order column: each level is a
+        # HashAggregate + a semi join that keeps only rows achieving
+        # the level's max (ties flow to the next level).  A single
+        # max(struct(order...)) would express this in one aggregate but
+        # plans as SortAggregate — it sorts the entire batch
+        # (profiled 5.6× slower at 40M rows; see BENCH_SCALING.md).
+        light = df.select(*key_columns, *order_columns)
+        cand = light
+        for c in order_columns[:-1]:
+            m = cand.groupBy(*key_columns).agg(F.max(c).alias(c))
+            if broadcast_winners:
+                m = F.broadcast(m)
+            cand = cand.join(m, on=key_columns + [c], how="left_semi")
+        winners = cand.groupBy(*key_columns).agg(
+            *[F.max(c).alias(c) for c in order_columns]
+        )
+        if broadcast_winners:
+            winners = F.broadcast(winners)
+        return df.join(winners, on=key_columns + order_columns, how="left_semi")
+
     if strategy == "max_by":
         ordert = F.struct(*[F.col(c) for c in order_columns])
         row = F.struct(*[F.col(c) for c in df.columns])

@@ -33,14 +33,17 @@ zillow_client.py:119-129, lifted to file level).
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from realdeal_spark.lake.table import (
     _BUCKET_COL,
+    _DATA,
     _DELETED_COL,
     LakeTable,
     Snapshot,
@@ -190,46 +193,51 @@ def merge_apply(
     resolved = joined.withColumn("_action", action).select(
         "_action", bucket_out, deleted_out, *out_cols
     )
-    resolved.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # single output pass: the action statistics ride the delta write as
+    # an Observation instead of a separate aggregation job (halves the
+    # evaluations of the join).  All touched buckets are rewritten; the
+    # earlier design pruned no-op buckets at the cost of one extra full
+    # pass — the wrong trade for a CDC stream where touched buckets
+    # almost always carry changes.  A fully no-op batch is detected
+    # from the observation and its files discarded before commit.
+    cnt = lambda a: F.sum(
+        F.when(F.col("_action") == a, 1).otherwise(0).cast("long")
+    )
+    obs = Observation()
+    observed = resolved.observe(
+        obs,
+        cnt("insert").alias("ins"),
+        cnt("update").alias("upd"),
+        cnt("delete").alias("del"),
+        cnt("tombstone").alias("tomb"),
+        cnt("unchanged").alias("unch"),
+        cnt("stale").alias("stale"),
+    )
+    new_rows = observed.drop("_action").repartition(
+        min(max(len(touched), 1), 256), _BUCKET_COL
+    )
+    new_version = snap.version + 1
     try:
-        # per-bucket effective-change counts → which buckets to rewrite
-        cnt = lambda a: F.sum(F.when(F.col("_action") == a, 1).otherwise(0))
-        stats = (
-            resolved.groupBy(_BUCKET_COL)
-            .agg(
-                cnt("insert").alias("ins"),
-                cnt("update").alias("upd"),
-                cnt("delete").alias("del"),
-                cnt("tombstone").alias("tomb"),
-                cnt("unchanged").alias("unch"),
-                cnt("stale").alias("stale"),
-            )
-            .collect()
-        )
+        new_files = table._write_delta(new_rows, new_version, snap.current_schema)
+        m = obs.get
         result = MergeResult(
             snapshot=None,
-            inserted=sum(r["ins"] for r in stats),
-            updated=sum(r["upd"] for r in stats),
-            deleted=sum(r["del"] for r in stats),
-            unchanged=sum(r["unch"] for r in stats),
-            stale=sum(r["stale"] for r in stats),
+            inserted=int(m["ins"]),
+            updated=int(m["upd"]),
+            deleted=int(m["del"]),
+            unchanged=int(m["unch"]),
+            stale=int(m["stale"]),
             touched_buckets=touched,
         )
-        rewrite = sorted(
-            r[_BUCKET_COL]
-            for r in stats
-            if (r["ins"] + r["upd"] + r["del"] + r["tomb"]) > 0
-        )
-        result.rewritten_buckets = rewrite
-
-        if not rewrite and epoch_id is None:
-            return result  # pure no-op batch, nothing to commit
-
-        new_rows = resolved.where(
-            F.col(_BUCKET_COL).isin([int(b) for b in rewrite])
-            if rewrite
-            else F.lit(False)
-        ).drop("_action")
+        if result.effective_changes + int(m["tomb"]) == 0 and epoch_id is None:
+            # pure no-op batch: drop the just-written delta, commit nothing
+            shutil.rmtree(
+                os.path.join(table.root, _DATA, f"delta-{new_version:09d}"),
+                ignore_errors=True,
+            )
+            return result
+        result.rewritten_buckets = sorted(int(b) for b in new_files)
         summary = {
             "inserted": result.inserted,
             "updated": result.updated,
@@ -238,14 +246,10 @@ def merge_apply(
             "stale": result.stale,
             **(extra_summary or {}),
         }
-        result.snapshot = table.replace_buckets(
-            new_rows,
-            rewrite,
-            summary=summary,
-            epoch_id=epoch_id,
-            base_snapshot=snap,
+        result.snapshot = table.commit_bucket_replacement(
+            snap, new_version, new_files, touched, summary=summary, epoch_id=epoch_id
         )
         return result
     finally:
-        resolved.unpersist()
+        src.unpersist()
         src.unpersist()

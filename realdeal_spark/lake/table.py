@@ -425,6 +425,23 @@ class LakeTable:
             new_version,
             snap.current_schema,
         )
+        return self.commit_bucket_replacement(
+            snap, new_version, new_files, touched_buckets, summary, epoch_id
+        )
+
+    def commit_bucket_replacement(
+        self,
+        snap: Snapshot,
+        new_version: int,
+        new_files: dict[str, list[dict[str, Any]]],
+        touched_buckets: list[int],
+        summary: dict[str, Any] | None = None,
+        epoch_id: str | None = None,
+    ) -> Snapshot:
+        """Commit already-written delta files as a bucket replacement —
+        the write/commit split lets MERGE compute its statistics on the
+        same job that writes the files (Observation) and still record
+        them in the snapshot summary."""
         touched = {str(b) for b in touched_buckets}
         files = {b: list(fl) for b, fl in snap.files.items() if b not in touched}
         for b, fl in new_files.items():
