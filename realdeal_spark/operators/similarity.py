@@ -92,9 +92,16 @@ def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        proj = sum(
-            [vec.getItem(j) * F.lit(plane_sign(p, j)) for j in range(dim)],
+        consts = F.array(*[F.lit(plane_sign(p, j)) for j in range(dim)])
+        # compact fold instead of a dim-term Add chain: an unrolled
+        # 8×64-term tree was ~4000 expression nodes — too big for
+        # whole-stage codegen and slow even to analyze (10s of
+        # driver+interpretation per query at dim=64).  Same left-to-
+        # right summation order, so oracle parity is unchanged.
+        proj = F.aggregate(
+            F.zip_with(vec, consts, lambda x, c: x * c),
             F.lit(0.0),
+            lambda a, z: a + z,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return bucket
