@@ -131,6 +131,69 @@ def minhash_signatures(
     )
 
 
+def _banded_minhash_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(_id, band, bh) rows via an Arrow-batched mapInPandas pass.
+
+    Bit-identical to the Catalyst expression path (md5 == md5; the
+    permutation arithmetic stays in exact int64 — h < 2^48, a ≤ 2k+1,
+    so h·a+b < 2^53), but ~10× faster: the expression path pays
+    interpreted higher-order-function evaluation per shingle per
+    permutation, while here the (shingles × permutations) matrix is
+    one numpy broadcast per document.  This is the engine's
+    documented exception to "stay JVM-side": vectorized Arrow UDFs
+    where built-ins can't express the computation *efficiently*.
+    Normalization matches ``normalized_text`` (ASCII ``\\s``, as in
+    Java regex).
+    """
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_perm // bands
+    A = np.array([2 * i + 1 for i in range(num_perm)], dtype=np.int64)
+    B = np.array([1000003 * i for i in range(num_perm)], dtype=np.int64)
+    P = MERSENNE_61
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, band_ids, bhs = [], [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws.sub(" ", (text or "").strip()).lower()
+                toks = norm.split(" ")
+                n_sh = max(len(toks) - (shingle_n - 1), 1)
+                shingles = [" ".join(toks[i : i + shingle_n]) for i in range(n_sh)]
+                H = np.array(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+                        for s in shingles
+                    ],
+                    dtype=np.int64,
+                )
+                sig = ((H[:, None] * A[None, :] + B[None, :]) % P).min(axis=0)
+                for b in range(bands):
+                    vals = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    key = ",".join(str(int(v)) for v in vals)
+                    ids.append(_id)
+                    band_ids.append(b)
+                    bhs.append(hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame({"_id": ids, "band": band_ids, "bh": bhs})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, schema="_id bigint, band int, bh string"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -138,6 +201,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -149,22 +213,28 @@ def minhash_lsh_pairs(
     join sides share one signature computation.
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
-    rows_per_band = num_perm // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[
-                    band_vals.getItem(i).cast("string") for i in range(rows_per_band)
-                ])).alias("bh"),
-            )
+    if use_arrow:
+        banded = _banded_minhash_arrow(
+            df, text_col, id_col, num_perm, bands, shingle_n
         )
-    banded = with_sig.select(
-        "_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("_id", "b.band", "b.bh")
+    else:
+        rows_per_band = num_perm // bands
+        with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+        band_cols = []
+        for b in range(bands):
+            band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        band_vals.getItem(i).cast("string")
+                        for i in range(rows_per_band)
+                    ])).alias("bh"),
+                )
+            )
+        banded = with_sig.select(
+            "_id", F.explode(F.array(*band_cols)).alias("b")
+        ).select("_id", "b.band", "b.bh")
     # persist: both self-join sides read one materialization (at
     # cluster scale this is a temp-table checkpoint of ~50B/doc/band)
     banded = banded.persist()
