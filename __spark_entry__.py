@@ -430,6 +430,30 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass composed from the
+    engine's operators: language filter → quality-score filter →
+    exact dedup → per-doc stats.  One declarative plan; Catalyst
+    fuses the filters into the scan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+        F.col("lang"),
+    )
+    corpus = d.unionByName(variant)
+    q = TS.quality_score_expr("text")
+    filtered = corpus.where((F.col("lang") == "en") & (q >= 0.3))
+    deduped = DD.exact_dedup(filtered, "text", "doc_id")
+    return deduped.select(
+        "doc_id",
+        "lang",
+        TS.token_count_expr("text").alias("n_tokens"),
+        TS.quality_score_expr("text").alias("quality"),
+        TS.fingerprint_expr("text").alias("fingerprint"),
+    )
+
+
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -731,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "pipeline_curate": q_pipeline_curate,
         # similarity search
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -832,6 +857,34 @@ ranked as (
                             order by doc_id) as rn
   from corpus)
 select doc_id, text from ranked where rn = 1
+""",
+        "pipeline_curate": f"""
+with corpus as (
+  select doc_id, text, lang from documents
+  union all
+  select doc_id + 100000 as doc_id, upper(text) || '  ' as text, lang
+  from documents),
+scored as (
+  select doc_id, text, lang,
+         len({_TOKS_SQL}) as tc,
+         cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+              as double) / greatest(length(text), 1) as pr,
+         cast(len(list_filter({_TOKS_SQL}, t -> list_contains([{_STOP_EN}], t)))
+              as double) / greatest(len({_TOKS_SQL}), 1) as sr,
+         ('0x' || substr(md5({_NORM_SQL}), 1, 15))::bigint as fingerprint,
+         md5({_NORM_SQL}) as norm_hash
+  from corpus),
+q as (
+  select *, round(0.4 * least(cast(tc as double) / 100.0, 1.0)
+              + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+              + 0.3 * least(sr * 5.0, 1.0), 6) as quality
+  from scored),
+filt as (select * from q where lang = 'en' and quality >= 0.3),
+ranked as (
+  select *, row_number() over (partition by norm_hash order by doc_id) as rn
+  from filt)
+select doc_id, lang, cast(tc as int) as n_tokens, quality, fingerprint
+from ranked where rn = 1
 """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 3),
         "dedup_simhash": _simhash_sql(16),

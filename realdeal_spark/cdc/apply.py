@@ -174,7 +174,12 @@ class CdcApplier:
             extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
         )
         if obs is not None:
-            n_in = int(obs.get["n"])
+            try:
+                n_in = int(obs.get["n"])
+            except Exception:
+                # empty batch: the observed node emitted no row at all
+                # (merge short-circuited on zero touched buckets)
+                n_in = 0
         n_conflated = res.inserted + res.updated + res.deleted + res.unchanged + res.stale
         return self._record(
             EpochReport(

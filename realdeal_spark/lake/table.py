@@ -548,3 +548,50 @@ class LakeTable:
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
+
+    def versions(self) -> list[int]:
+        names = os.listdir(self._meta_dir())
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Drop old snapshots and garbage-collect unreferenced data
+        files (the VACUUM / expire-snapshots maintenance op).
+
+        Time travel to expired versions stops working — that is the
+        contract; exactly-once is unaffected because applied epoch
+        ids live in (and are carried forward by) the *latest*
+        snapshot.  At scale this runs as a driver-side metadata walk:
+        cost is O(files in metadata), no data scan.
+        """
+        vs = self.versions()
+        keep = vs[-max(keep_last, 1):]
+        drop = [v for v in vs if v not in keep]
+        referenced: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            for fl in snap.files.values():
+                referenced.update(fe["path"] for fe in fl)
+        files_removed = 0
+        data_root = os.path.join(self.root, _DATA)
+        for delta in sorted(os.listdir(data_root)):
+            ddir = os.path.join(data_root, delta)
+            if not os.path.isdir(ddir):
+                continue
+            for sub in sorted(os.listdir(ddir)):
+                sdir = os.path.join(ddir, sub)
+                if not os.path.isdir(sdir):
+                    continue
+                for fn in os.listdir(sdir):
+                    rel = os.path.join(_DATA, delta, sub, fn)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.unlink(os.path.join(sdir, fn))
+                        files_removed += 1
+                if not os.listdir(sdir):
+                    os.rmdir(sdir)
+            if not os.listdir(ddir):
+                os.rmdir(ddir)
+        for v in drop:
+            os.unlink(self._snap_path(v))
+        return {"snapshots_removed": len(drop), "files_removed": files_removed}
