@@ -174,13 +174,15 @@ def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 anti-join find-new: second half of the log vs keys seen in
-    the first half (reference: find_new_properties.py:20-52)."""
+    """J1 anti-join find-new: the log tail vs composite keys seen in
+    the first 10% (reference: find_new_properties.py:20-52; the
+    composite ':'-joined key is F7 — expressed as a multi-column join
+    key, no string concat needed)."""
     ev = _t(spark, sf_dir, "events")
-    half = int(ev.agg(F.max("event_id")).first()[0]) // 2
-    incoming = ev.where(F.col("event_id") >= half)
-    existing = ev.where(F.col("event_id") < half)
-    return REL.find_new(incoming, existing, ["user_id"]).select(
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 10
+    incoming = ev.where(F.col("event_id") >= cut)
+    existing = ev.where(F.col("event_id") < cut)
+    return REL.find_new(incoming, existing, ["user_id", "event_type"]).select(
         "user_id", "event_id", "event_type"
     )
 
@@ -249,11 +251,17 @@ def q_sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set ops: users who clicked but never purchased (anti)."""
+    """§2.7 set ops: (user, prop-bucket) combos that clicked but never
+    purchased — EXCEPT via left_anti on the distinct projections."""
     ev = _t(spark, sf_dir, "events")
-    clicked = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    bought = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    return clicked.join(bought, "user_id", "left_anti")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int").alias("k")
+    clicked = (
+        ev.where(F.col("event_type") == "click").select("user_id", k).distinct()
+    )
+    bought = (
+        ev.where(F.col("event_type") == "purchase").select("user_id", k).distinct()
+    )
+    return clicked.join(bought, ["user_id", "k"], "left_anti")
 
 
 def q_agg_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,12 +779,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conflate_window_salted": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
         "cdc_find_new": """
-with h as (select max(event_id) // 2 as h from events)
+with h as (select max(event_id) // 10 as h from events)
 select e.user_id, e.event_id, e.event_type
 from events e, h
 where e.event_id >= h.h
-  and e.user_id not in
-      (select user_id from events p, h where p.event_id < h.h)
+  and not exists (select 1 from events p, h h2
+                  where p.event_id < h2.h
+                    and p.user_id = e.user_id
+                    and p.event_type = e.event_type)
 """,
         # cdc_schema_evolution: rows-only (engine-internal evolution)
         "rel_topk_per_key": """
@@ -798,9 +808,11 @@ select event_id, user_id, round(value, 6) as value
 from events order by value desc, event_id asc limit 100
 """,
         "set_except_users": """
-select distinct user_id from events where event_type = 'click'
-and user_id not in
-    (select user_id from events where event_type = 'purchase')
+select distinct user_id, cast(json_extract_string(props, '$.k') as int) as k
+from events where event_type = 'click'
+except
+select distinct user_id, cast(json_extract_string(props, '$.k') as int) as k
+from events where event_type = 'purchase'
 """,
         "agg_events_rollup": f"""
 select event_type, count(*) as n,

@@ -43,9 +43,22 @@ def row_key(row: dict, cols: list[str]) -> tuple:
 
 
 def main() -> int:
-    from realdeal_spark.session import get_spark
+    if "--plain-session" in sys.argv:
+        # mimic a driver that builds a vanilla session (no UTC/NTZ/
+        # Arrow configs) — queries must not depend on session conf
+        sys.argv.remove("--plain-session")
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("verify-entry", master="local[8]", shuffle_partitions=16)
+        spark = (
+            SparkSession.builder.appName("verify-plain")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from realdeal_spark.session import get_spark
+
+        spark = get_spark("verify-entry", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
