@@ -188,10 +188,12 @@ def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: epoch 1 under the base schema, add-column + rename +
-    widen, epoch 2 under the evolved schema; final state must carry
-    old rows with typed nulls in the new column (north_rule schema
-    evolution)."""
+    """Epoch 1 under the base schema; then add-column + rename +
+    widen; epoch 2 under the evolved schema.  Final state must carry
+    pre-evolution rows with typed nulls in the added column, renamed
+    data under the new name, and the widened type (north_rule schema
+    evolution) — all value-checked against a SQL oracle that knows
+    which epoch each winner came from."""
     log = _change_log(spark, sf_dir)
     ts_type = log.schema["ts"].dataType.simpleString()
     root = tempfile.mkdtemp(prefix="rds_evo_")
@@ -215,7 +217,9 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     applier2 = CdcApplier(table, lsn_col="event_id")
     applier2.apply_epoch(log2, mx // 2 + 1, mx)
-    return table.read()
+    return table.read().select(
+        "user_id", "ts", "event_id", F.round("score", 6).alias("score"), "etype"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -788,7 +792,19 @@ where e.event_id >= h.h
                     and p.user_id = e.user_id
                     and p.event_type = e.event_type)
 """,
-        # cdc_schema_evolution: rows-only (engine-internal evolution)
+        "cdc_schema_evolution": f"""
+with mx as (select max(event_id) // 2 as m from events),
+ranked as (
+  select user_id, ts, event_id, value, event_type, {_OP_SQL} as op,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events)
+select r.user_id, r.ts, cast(r.event_id as double) as event_id,
+       round(r.value, 6) as score,
+       case when r.event_id > mx.m then r.event_type end as etype
+from ranked r, mx
+where r.rn = 1 and r.op <> 'delete'
+""",
         "rel_topk_per_key": """
 with ranked as (
   select user_id, event_id, value,
