@@ -145,6 +145,15 @@ def q_cdc_conflate_window_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "delete").select(*_EVENT_COLS, "op")
 
 
+def q_cdc_conflate_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload-light conflation (scale path used by the scaling
+    benchmark): winner-find on a (key, order) projection + broadcast
+    semi join — identical result to max_by, oracle-checked."""
+    log = _change_log(spark, sf_dir)
+    latest = conflate(log, ["user_id"], ["ts", "event_id"], strategy="light")
+    return latest.where(F.col("op") != "delete").select(*_EVENT_COLS, "op")
+
+
 def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine end-to-end (J2 MERGE): replay the change log in two
     lsn-range epochs through a real lake table (bucketed, snapshot
@@ -744,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC / incremental-ingest core
         "cdc_latest_state": q_cdc_latest_state,
         "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
+        "cdc_conflate_light": q_cdc_conflate_light,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
@@ -781,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_latest_state": _FINAL_STATE_SQL,
         "cdc_conflate_window_salted": _FINAL_STATE_SQL,
+        "cdc_conflate_light": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
         "cdc_find_new": """
 with h as (select max(event_id) // 10 as h from events)

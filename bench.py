@@ -30,6 +30,7 @@ HEADLINE = [
     "cdc_merge_replay",
     "cdc_latest_state",
     "cdc_conflate_window_salted",
+    "cdc_conflate_light",
     "cdc_find_new",
     "agg_pricing_summary",
     "join_orders_revenue",
@@ -37,6 +38,7 @@ HEADLINE = [
     "text_stats",
     "extract_html_text",
     "dedup_exact",
+    "pipeline_curate",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "knn_brute_force",

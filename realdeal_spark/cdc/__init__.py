@@ -8,5 +8,14 @@ lake table → commit epoch id into the snapshot (exactly-once).
 
 from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.cdc.apply import CdcApplier, EpochReport
+from realdeal_spark.cdc.backfill import backfill
+from realdeal_spark.cdc.evolve import plan_evolution, reconcile
 
-__all__ = ["conflate", "CdcApplier", "EpochReport"]
+__all__ = [
+    "conflate",
+    "CdcApplier",
+    "EpochReport",
+    "backfill",
+    "plan_evolution",
+    "reconcile",
+]

@@ -9,12 +9,14 @@
 """
 
 from realdeal_spark.operators.relational import find_new, latest_per_key, top_k_per_key
-from realdeal_spark.operators import dedup, similarity
+from realdeal_spark.operators import dedup, geo, multimodal, similarity
 
 __all__ = [
     "find_new",
     "latest_per_key",
     "top_k_per_key",
     "dedup",
+    "geo",
+    "multimodal",
     "similarity",
 ]

@@ -53,12 +53,16 @@ class StreamingCdcApplier:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
         conflate_strategy: str = "max_by",
+        auto_evolve: bool = False,
+        renames: dict[str, str] | None = None,
     ):
         self.table = table
         self.name = name
         self.transform = transform
         self.column_merge = column_merge
         self.conflate_strategy = conflate_strategy
+        self.auto_evolve = auto_evolve
+        self.renames = renames
         self.batch_results: list[tuple[int, MergeResult | None]] = []
 
     # the foreachBatch body — public so tests can drive it directly
@@ -77,6 +81,10 @@ class StreamingCdcApplier:
         )
         if self.transform is not None:
             src = self.transform(src)
+        if self.auto_evolve:
+            from realdeal_spark.cdc.evolve import reconcile
+
+            reconcile(self.table, src.schema, self.renames)
         res = merge_apply(
             self.table,
             src,

@@ -93,3 +93,24 @@ def test_replayed_batch_id_is_noop(spark, tmp_path):
     assert res2 is None
     assert table.current_version() == v1
     assert _visible(table) == _expected(events)
+
+
+def test_streaming_auto_evolve(spark, tmp_path):
+    """Mid-stream schema drift handled inside the foreachBatch body."""
+    from pyspark.sql import functions as F
+
+    table = _mk_table(spark, tmp_path)
+    applier = StreamingCdcApplier(table, name="t4", auto_evolve=True)
+    e1 = generate_change_events(spark, n_events=100, n_urls=20, seed=3)
+    applier.apply_batch(e1, batch_id=0)
+    e2 = (
+        generate_change_events(spark, n_events=100, n_urls=20, seed=4)
+        .withColumn("lsn", F.col("lsn") + 100)
+        .withColumn("fetch_status", F.lit(200))
+    )
+    applier.apply_batch(e2, batch_id=1)
+    sch = table.schema()
+    assert "fetch_status" in [f.name for f in sch.fields]
+    rows = table.read().collect()
+    assert any(r["fetch_status"] == 200 for r in rows)
+    assert any(r["fetch_status"] is None for r in rows)  # pre-drift winners
