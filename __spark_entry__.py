@@ -182,6 +182,38 @@ def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
 
 
+def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read MERGE path (J2 at 100-TB shape): replay the
+    change log in four lsn-range epochs, each writing only *changed*
+    rows as per-bucket delta files; reads reconcile latest-per-key,
+    and a mid-replay compact() folds deltas into base files.  Same
+    replay-equivalence oracle as the CoW path — the two modes must be
+    indistinguishable from the final state."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_mor_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(
+        table, lsn_col="event_id", merge_mode="mor", compact_every=2,
+        compact_max_files=2,
+    )
+    mx = log.agg(F.max("event_id")).first()[0]
+    applier.run(log, epoch_size=int(mx) // 4 + 1)
+    return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
+
+
 def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 anti-join find-new: the log tail vs composite keys seen in
     the first 10% (reference: find_new_properties.py:20-52; the
@@ -437,13 +469,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df=20 is the stop-shingle guard: a shingle present in >20
+    documents is dropped from the inverted index (and from the
+    Jaccard denominators — mirrored in the oracle), so one common
+    trigram can never make the index self-join quadratic on a single
+    shuffle key.  True near-dup pairs share mostly df≤4 shingles in
+    the doubled corpus, so the capped result keeps them all."""
     c = _doubled_corpus(spark, sf_dir)
-    return DD.ngram_jaccard_pairs(c, "text", "doc_id", shingle_n=3, threshold=0.8)
+    return DD.ngram_jaccard_pairs(
+        c, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=20
+    )
+
+
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a scaled copy (×2.0, vec_id+100000): scaling keeps
+    direction, so every (i, i+100000) pair has cosine 1.0 *and* lands
+    in the same LSH bucket of every table (identical sign bits) —
+    the near-dup queries become discriminating at any SF, with exact
+    float parity (double mult by 2.0 is lossless in both engines)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    variant = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return e.unionByName(variant)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _doubled_embeddings(spark, sf_dir)
     return DD.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.5)
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup: multi-table hyperplane
+    LSH buckets both sides, all-pairs only *within* buckets, exact
+    cosine on the (distinct) candidates — no cartesian anywhere
+    (asserted in tests/test_plans.py).  Recall vs the brute-force
+    baseline is measured in tests/test_operators.py."""
+    e = _doubled_embeddings(spark, sf_dir)
+    return DD.embedding_neardup_pairs_bucketed(
+        e, dim=64, vec_col="embedding", id_col="vec_id",
+        threshold=0.5, n_planes=4, n_tables=2,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -624,8 +693,16 @@ select doc_id, cast({' + '.join(terms)} as bigint) as simhash from hashed
 """
 
 
-def _jaccard_sql(shingle_n: int = 3, threshold: float = 0.8) -> str:
+def _jaccard_sql(
+    shingle_n: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> str:
     h = _H48.format(x="s")
+    cap = (
+        f"capped as (select * from sh where s not in "
+        f"(select s from sh group by s having count(*) > {max_df})),"
+        if max_df is not None
+        else "capped as (select * from sh),"
+    )
     return f"""
 with corpus as ({_DOUBLED_SQL}),
 sh as (
@@ -633,10 +710,11 @@ sh as (
          unnest(list_distinct(list_transform({_shingle_sql(shingle_n)}, s -> {h})))
            as s
   from corpus),
-sizes as (select _id, count(*) as n from sh group by _id),
+{cap}
+sizes as (select _id, count(*) as n from capped group by _id),
 inter as (
   select l._id as id_a, r._id as id_b, count(*) as i
-  from sh l join sh r on l.s = r.s and l._id < r._id
+  from capped l join capped r on l.s = r.s and l._id < r._id
   group by l._id, r._id)
 select id_a, id_b,
        round(cast(i as double) / (a.n + b.n - i), 6) as jaccard
@@ -648,6 +726,15 @@ where round(cast(i as double) / (a.n + b.n - i), 6) >= {threshold}
 
 
 _VEC_SQL = "list_transform(embedding, x -> cast(x as double))"
+
+# doubled-corpus twin of _doubled_embeddings (base ∪ ×2.0 copy);
+# plain union (no WITH) so it can be spliced into a CTE body
+_DOUBLED_VEC_SQL = (
+    f"select vec_id, {_VEC_SQL} as v from embeddings "
+    "union all "
+    f"select vec_id + 100000 as vec_id, "
+    f"list_transform({_VEC_SQL}, x -> x * 2.0) as v from embeddings"
+)
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -663,10 +750,59 @@ def _cosine_pairs_sql(threshold: float) -> str:
     na = _dot_sql("a.v", "a.v")
     nb = _dot_sql("b.v", "b.v")
     return f"""
-with v as (select vec_id, {_VEC_SQL} as v from embeddings)
+with v as ({_DOUBLED_VEC_SQL})
 select a.vec_id as id_a, b.vec_id as id_b,
        round({dot} / (sqrt({na}) * sqrt({nb})), 6) as cosine
 from v a join v b on a.vec_id < b.vec_id
+where round({dot} / (sqrt({na}) * sqrt({nb})), 6) >= {threshold}
+"""
+
+
+def _bucket_sql(n_planes: int, dim: int, plane_offset: int = 0, vec: str = "v") -> str:
+    """DuckDB twin of similarity.hyperplane_bits_expr: sign bits vs the
+    md5-derived ±1 planes ``offset..offset+n_planes-1`` (bit weight by
+    position within the family)."""
+    import hashlib
+
+    planes = []
+    for p0 in range(n_planes):
+        p = plane_offset + p0
+        comps = []
+        for j in range(dim):
+            even = (
+                int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[:15], 16) % 2
+                == 0
+            )
+            comps.append(f"{'+' if even else '-'} {vec}[{j + 1}]")
+        planes.append(
+            f"case when (0.0 {' '.join(comps)}) > 0 then {1 << p0} else 0 end"
+        )
+    return " + ".join(planes)
+
+
+def _cosine_pairs_bucketed_sql(
+    threshold: float, n_planes: int = 4, n_tables: int = 2, dim: int = 64
+) -> str:
+    tables = " union all ".join(
+        f"select vec_id, v, {t} as t, "
+        f"{_bucket_sql(n_planes, dim, plane_offset=t * n_planes)} as bk from v"
+        for t in range(n_tables)
+    )
+    dot = _dot_sql("a.v", "b.v")
+    na = _dot_sql("a.v", "a.v")
+    nb = _dot_sql("b.v", "b.v")
+    return f"""
+with v as ({_DOUBLED_VEC_SQL}),
+banded as ({tables}),
+cand as (
+  select distinct l.vec_id as id_a, r.vec_id as id_b
+  from banded l join banded r
+    on l.t = r.t and l.bk = r.bk and l.vec_id < r.vec_id)
+select c.id_a, c.id_b,
+       round({dot} / (sqrt({na}) * sqrt({nb})), 6) as cosine
+from cand c
+join v a on a.vec_id = c.id_a
+join v b on b.vec_id = c.id_b
 where round({dot} / (sqrt({na}) * sqrt({nb})), 6) >= {threshold}
 """
 
@@ -755,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
         "cdc_conflate_light": q_cdc_conflate_light,
         "cdc_merge_replay": q_cdc_merge_replay,
+        "cdc_merge_replay_mor": q_cdc_merge_replay_mor,
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         # relational operator coverage
@@ -777,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
         # similarity search
         "knn_brute_force": q_knn_brute_force,
@@ -793,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conflate_window_salted": _FINAL_STATE_SQL,
         "cdc_conflate_light": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
+        "cdc_merge_replay_mor": _FINAL_STATE_SQL,
         "cdc_find_new": """
 with h as (select max(event_id) // 10 as h from events)
 select e.user_id, e.event_id, e.event_type
@@ -927,8 +1066,11 @@ from ranked where rn = 1
 """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 3),
         "dedup_simhash": _simhash_sql(16),
-        "dedup_ngram_jaccard": _jaccard_sql(3, 0.8),
+        "dedup_ngram_jaccard": _jaccard_sql(3, 0.8, max_df=20),
         "dedup_embedding_cosine": _cosine_pairs_sql(0.5),
+        "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
+            0.5, n_planes=4, n_tables=2
+        ),
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),
         "extract_html_text": """

@@ -71,6 +71,20 @@ class CdcApplier:
     column) — the reference's enrich stages
     (update_mortage_data/update_address_data/update_zillow_data)
     compressed into one vectorized pass.
+
+    ``conflate_strategy`` defaults to ``"light"``: a CDC source
+    guarantees the light strategy's preconditions (unique, non-null
+    order tuple per key — the binlog lsn), and for wide/binary
+    payload rows (html) the max_by alternative shuffles the full
+    payload through a SortAggregate — profiled disk-bound and
+    anti-scaling at 40M+ rows (BENCH_SCALING.md).
+
+    ``merge_mode="mor"`` switches the MERGE to merge-on-read (write
+    only changed rows as per-bucket deltas; see lake.merge) — the
+    scale default once the table dwarfs the epoch.  With MoR, set
+    ``compact_every=N`` to fold deltas into base files every N
+    committed epochs (``compact_max_files`` is the per-bucket file
+    budget that triggers a bucket's rewrite).
     """
 
     def __init__(
@@ -79,9 +93,12 @@ class CdcApplier:
         lsn_col: str = "lsn",
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
-        conflate_strategy: str = "max_by",
+        conflate_strategy: str = "light",
         auto_evolve: bool = False,
         renames: dict[str, str] | None = None,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
+        compact_max_files: int = 4,
     ):
         self.table = table
         self.lsn_col = lsn_col
@@ -90,6 +107,10 @@ class CdcApplier:
         self.conflate_strategy = conflate_strategy
         self.auto_evolve = auto_evolve
         self.renames = renames
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
+        self._epochs_since_compact = 0
         self.reports: list[EpochReport] = []
 
     # ------------------------------------------------------------ state
@@ -172,7 +193,16 @@ class CdcApplier:
             column_merge=self.column_merge,
             epoch_id=epoch_id,
             extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
+            mode=self.merge_mode,
         )
+        if self.compact_every is not None and res.snapshot is not None:
+            # MoR amortizer: fold delta files back into base files
+            # every N epochs (the background-compaction stand-in; at
+            # cluster scale this is a separate maintenance job).
+            self._epochs_since_compact += 1
+            if self._epochs_since_compact >= self.compact_every:
+                self.table.compact(max_files_per_bucket=self.compact_max_files)
+                self._epochs_since_compact = 0
         if obs is not None:
             try:
                 n_in = int(obs.get["n"])

@@ -6,14 +6,21 @@ dedup (dedupe_properties.py:11-27 scans ORDER BY created DESC and
 keeps the first rowid per key) plus its intra-batch key-set dedup
 (find_new_properties.py:49), expressed set-based.
 
-Two strategies, identical results (tested against each other):
+Three strategies, identical results (tested against each other):
 
-- ``max_by`` (default): ``groupBy(key).agg(max_by(struct(*), order))``.
-  Spark plans this as a hash aggregate with *partial aggregation*:
-  each map task reduces its local rows per key before the shuffle, so
-  a hot key that is 50% of the batch shuffles as ~one row per map
-  task, not 50% of the data — skew is resolved map-side with no salt.
-  This is the scale-correct default.
+- ``light`` (the engine default — see :func:`conflate`): winner-find
+  on a (key, order) projection + semi join.  Never shuffles the
+  payload; the scale-correct choice for wide/binary rows (html).
+
+- ``max_by``: ``groupBy(key).agg(max_by(struct(*), order))``.
+  Plans as **SortAggregate** (struct-typed agg buffers are not
+  hash-aggregatable) with partial aggregation: each map task still
+  reduces its local rows per key before the shuffle — skew is
+  resolved map-side with no salt — but the shuffled value is the
+  full-row struct and the input is sorted per task.  Fine for narrow
+  rows; for KB-payload CDC rows the payload shuffle made conflation
+  disk-bound and anti-scaling (profiled in BENCH_SCALING.md), which
+  is why ``light`` is the default.
 
 - ``window`` (+ optional explicit salt): the literal
   ``row_number() over (partition by key order by order desc)`` form.
@@ -43,7 +50,7 @@ def conflate(
     """One row per key: the max-order-tuple winner.
 
     ``salt_buckets`` only applies to the window strategy; with the
-    default ``max_by`` strategy partial aggregation already bounds
+    ``max_by`` strategy partial aggregation already bounds
     per-partition hot-key volume.
 
     The ``light`` strategy never shuffles the payload: winners are
@@ -55,10 +62,20 @@ def conflate(
     epoch fit the broadcast budget — bounded by the per-trigger
     admission budget, SURVEY ST4; beyond that, drop the broadcast and
     the semi join shuffles winner rows only, still payload-light on
-    the build side, or switch to a Bloom-filter pushdown).  Requires
-    the order tuple to be unique per key (a binlog lsn guarantees
-    it); profiling: the payload shuffle made conflation *disk*-bound
-    and anti-scaling — see BENCH_SCALING.md.
+    the build side, or switch to a Bloom-filter pushdown).
+
+    ``light`` preconditions (both guaranteed by a binlog/WAL source,
+    and required — silent divergence from max_by otherwise):
+    - the order tuple is **unique per key** (lsn is unique), else the
+      semi join keeps every tied winner row instead of one;
+    - the order columns are **non-null** (binlog ts/lsn always are):
+      ``F.max`` ignores nulls and the equality semi join never
+      matches null, so a key whose winning rows have a null order
+      value is silently dropped where max_by would emit a winner.
+
+    Profiling: the max_by payload shuffle made conflation
+    *disk*-bound and anti-scaling — see BENCH_SCALING.md; hence
+    ``light`` is the CdcApplier default.
     """
     if strategy == "light":
         # Iterated *scalar* max per order column: each level is a

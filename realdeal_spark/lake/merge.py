@@ -55,39 +55,10 @@ OP_UPDATE = "update"
 OP_DELETE = "delete"
 
 
-@dataclass
-class MergeResult:
-    snapshot: Snapshot | None  # None => empty batch / pure no-op
-    inserted: int = 0
-    updated: int = 0
-    deleted: int = 0
-    unchanged: int = 0
-    stale: int = 0
-    touched_buckets: list[int] = field(default_factory=list)
-    rewritten_buckets: list[int] = field(default_factory=list)
-
-    @property
-    def effective_changes(self) -> int:
-        return self.inserted + self.updated + self.deleted
-
-
-def merge_apply(
-    table: LakeTable,
-    source: DataFrame,
-    column_merge: str = "replace",
-    epoch_id: str | None = None,
-    extra_summary: dict | None = None,
-) -> MergeResult:
-    """Apply one conflated change batch to the table.
-
-    ``column_merge``:
-      - ``"replace"``  — a winning source row replaces the whole row
-        (full-row CDC events, the engine default);
-      - ``"coalesce"`` — null source fields keep the target's value
-        (partial updates; the reference's per-field patch semantics,
-        zillow_client.py:119-129).
-    """
-    snap = table.snapshot()
+def _prep_source(table: LakeTable, snap: Snapshot, source: DataFrame):
+    """Shared validation + projection for both MERGE modes: the source
+    is projected onto the current table schema (absent columns → typed
+    nulls; present → cast), keeps ``op``, and gains ``_bucket``."""
     if not snap.soft_delete:
         raise ValueError(
             "merge_apply requires a soft_delete table (create with "
@@ -110,9 +81,6 @@ def merge_apply(
         raise ValueError(f"source missing key/order columns: {missing}")
     if OP_COL not in src_cols:
         raise ValueError(f"source missing '{OP_COL}' column")
-
-    # project source onto the current table schema (absent columns →
-    # typed nulls; present columns → cast), keep op, compute bucket.
     src = source.select(
         *[
             (
@@ -124,6 +92,71 @@ def merge_apply(
         ],
         F.col(OP_COL),
     ).withColumn(_BUCKET_COL, table.bucket_expr(snap))
+    return cur_fields, data_cols, key_cols, order_cols, src
+
+
+@dataclass
+class MergeResult:
+    snapshot: Snapshot | None  # None => empty batch / pure no-op
+    inserted: int = 0
+    updated: int = 0
+    deleted: int = 0
+    unchanged: int = 0
+    stale: int = 0
+    touched_buckets: list[int] = field(default_factory=list)
+    rewritten_buckets: list[int] = field(default_factory=list)
+
+    @property
+    def effective_changes(self) -> int:
+        return self.inserted + self.updated + self.deleted
+
+
+def merge_apply(
+    table: LakeTable,
+    source: DataFrame,
+    column_merge: str = "replace",
+    epoch_id: str | None = None,
+    extra_summary: dict | None = None,
+    mode: str = "cow",
+) -> MergeResult:
+    """Apply one conflated change batch to the table.
+
+    ``column_merge``:
+      - ``"replace"``  — a winning source row replaces the whole row
+        (full-row CDC events, the engine default);
+      - ``"coalesce"`` — null source fields keep the target's value
+        (partial updates; the reference's per-field patch semantics,
+        zillow_client.py:119-129).
+
+    ``mode``:
+      - ``"cow"`` — copy-on-write: every touched bucket is fully
+        rewritten.  Reads stay single-pass, but write amplification is
+        ~table_size/epoch_size per epoch once the table dwarfs the
+        batch — at 10^10 rows with uniform key hashing every epoch
+        rewrites ~the whole table.  Right for tables comparable in
+        size to their batches, or read-dominated workloads.
+      - ``"mor"`` — merge-on-read: the epoch writes only the *changed*
+        rows as per-bucket delta files (`LakeTable._write_delta(mor=
+        True)`); readers reconcile latest-per-key across a bucket's
+        files (payload-light, see LakeTable.read), and ``compact()``
+        amortizes deltas back into base files.  Per-epoch write cost
+        is O(changes); the classification join reads only a *narrow
+        projection* (key, order, deleted flag) of the touched buckets
+        — parquet column pruning means the html/binary payload is
+        never read, let alone rewritten.  This is the 100-TB path:
+        the reference's uploader likewise only ever writes changed
+        rows (real_deal_batch_uploader.py:48-66).  Requires
+        ``column_merge="replace"`` (coalesce needs the target's full
+        values — use cow for partial updates).
+    """
+    if mode == "mor":
+        return _merge_apply_mor(table, source, column_merge, epoch_id, extra_summary)
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode: {mode}")
+    snap = table.snapshot()
+    cur_fields, data_cols, key_cols, order_cols, src = _prep_source(
+        table, snap, source
+    )
 
     # persist the conflated batch: it is read by the touched-bucket
     # probe, the join, and (via the resolved cache) nothing else — one
@@ -252,4 +285,161 @@ def merge_apply(
         return result
     finally:
         src.unpersist()
+
+
+def _merge_apply_mor(
+    table: LakeTable,
+    source: DataFrame,
+    column_merge: str,
+    epoch_id: str | None,
+    extra_summary: dict | None,
+) -> MergeResult:
+    """Merge-on-read apply: write only the changed rows as per-bucket
+    delta files; never rewrite untouched rows.
+
+    Classification joins the conflated batch against a **narrow
+    projection** of the current state (key, order, deleted) — the
+    payload columns of the target are pruned at the parquet scan, so
+    an epoch's cost is O(changes) write + O(narrow scan of touched
+    buckets) read, independent of payload width and of table payload
+    size.  Action semantics match the CoW path with one deliberate
+    difference: "unchanged" is detected by an *equal order tuple*
+    (the same event replayed) rather than a full value diff — with a
+    unique binlog lsn the two are equivalent, and it is what keeps
+    (key, order) unique across file generations, which the read-time
+    reconcile's semi join relies on.
+    """
+    if column_merge != "replace":
+        raise ValueError(
+            "mode='mor' supports column_merge='replace' only: a "
+            "coalesce patch needs the target's full values — use the "
+            "cow path for partial updates"
+        )
+    snap = table.snapshot()
+    _, data_cols, key_cols, order_cols, src = _prep_source(table, snap, source)
+
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
+    if not touched:
+        src.unpersist()
+        return MergeResult(snapshot=None)
+
+    try:
+        # narrow current state of the touched buckets (reconciled
+        # across any earlier MoR deltas; parquet reads only these
+        # columns thanks to column pruning through read()'s projection)
+        tgt = (
+            table.read(buckets=touched, include_deleted=True)
+            .select(*key_cols, *order_cols, _DELETED_COL)
+        )
+        s = src.alias("s")
+        t = tgt.alias("t")
+        joined = s.join(
+            t, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols], how="left"
+        )
+
+        s_order = F.struct(*[F.col(f"s.{c}") for c in order_cols])
+        t_order = F.struct(*[F.col(f"t.{c}") for c in order_cols])
+        t_present = F.col(f"t.{key_cols[0]}").isNotNull()
+        t_visible = t_present & ~F.col(f"t.{_DELETED_COL}")
+        is_delete = F.col(f"s.{OP_COL}") == OP_DELETE
+
+        action = (
+            F.when(t_present & (s_order < t_order), F.lit("stale"))
+            .when(t_present & (s_order == t_order), F.lit("unchanged"))
+            .when(is_delete & t_visible, F.lit("delete"))
+            .when(is_delete, F.lit("tombstone"))  # delete of absent/deleted key
+            .when(~t_visible, F.lit("insert"))  # new key or resurrect
+            .otherwise(F.lit("update"))
+        )
+        classified = joined.select(
+            action.alias("_action"),
+            F.col(f"s.{_BUCKET_COL}").alias(_BUCKET_COL),
+            is_delete.alias(_DELETED_COL),
+            *[F.col(f"s.{c}").alias(c) for c in data_cols],
+        )
+
+        cnt = lambda a: F.sum(
+            F.when(F.col("_action") == a, 1).otherwise(0).cast("long")
+        )
+        obs = Observation()
+        observed = classified.observe(
+            obs,
+            cnt("insert").alias("ins"),
+            cnt("update").alias("upd"),
+            cnt("delete").alias("del"),
+            cnt("tombstone").alias("tomb"),
+            cnt("unchanged").alias("unch"),
+            cnt("stale").alias("stale"),
+        )
+        winners = (
+            observed.where(
+                F.col("_action").isin("insert", "update", "delete", "tombstone")
+            )
+            .drop("_action")
+            .select(*data_cols, F.col(_BUCKET_COL), F.col(_DELETED_COL))
+            .repartition(min(max(len(touched), 1), 256), _BUCKET_COL)
+        )
+        new_version = snap.version + 1
+        new_files = table._write_delta(
+            winners, new_version, snap.current_schema, mor=True
+        )
+        try:
+            m = {k: int(v) for k, v in obs.get.items()}
+        except Exception:
+            # When no row survives the winner filter, AQE's
+            # empty-relation propagation can eliminate the
+            # CollectMetrics node (the filter sits above it in the
+            # DataFrame but is pushed below at planning).  Recompute
+            # the action counts directly — one aggregation over the
+            # (persisted) source joined to the narrow target; only the
+            # all-noop epoch pays it.
+            counts = {
+                r["_action"]: r["n"]
+                for r in classified.groupBy("_action")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            m = {
+                "ins": counts.get("insert", 0),
+                "upd": counts.get("update", 0),
+                "del": counts.get("delete", 0),
+                "tomb": counts.get("tombstone", 0),
+                "unch": counts.get("unchanged", 0),
+                "stale": counts.get("stale", 0),
+            }
+        result = MergeResult(
+            snapshot=None,
+            inserted=m["ins"],
+            updated=m["upd"],
+            deleted=m["del"],
+            unchanged=m["unch"],
+            stale=m["stale"],
+            touched_buckets=touched,
+        )
+        if result.effective_changes + m["tomb"] == 0:
+            # nothing written that matters: drop the (empty) delta dir;
+            # still commit a marker snapshot if an epoch id must be
+            # recorded for exactly-once.
+            shutil.rmtree(
+                os.path.join(table.root, _DATA, f"delta-{new_version:09d}"),
+                ignore_errors=True,
+            )
+            if epoch_id is None:
+                return result
+            new_files = {}
+        result.rewritten_buckets = sorted(int(b) for b in new_files)
+        summary = {
+            "inserted": result.inserted,
+            "updated": result.updated,
+            "deleted": result.deleted,
+            "unchanged": result.unchanged,
+            "stale": result.stale,
+            **(extra_summary or {}),
+        }
+        result.snapshot = table.commit_file_additions(
+            snap, new_version, new_files, summary=summary, epoch_id=epoch_id
+        )
+        return result
+    finally:
         src.unpersist()

@@ -281,6 +281,15 @@ class LakeTable:
 
         On a soft-delete table, tombstone rows are filtered out unless
         ``include_deleted`` (the MERGE reads them to enforce ordering).
+
+        **Merge-on-read reconcile:** if any selected file is a MoR
+        delta (written by ``merge_apply(mode="mor")``), a key may
+        appear in several file generations; the reader keeps the
+        max-order-tuple row per key (payload-light winner-find + semi
+        join — one narrow shuffle over the selected buckets) *before*
+        the tombstone filter, so a winning delete still hides the key.
+        ``compact()`` folds deltas into base files and removes this
+        read-time cost; base-only reads skip it entirely.
         """
         snap = self.snapshot(version)
         cur = self._schema_version(snap, snap.current_schema)
@@ -288,10 +297,12 @@ class LakeTable:
 
         # group pruned file list by writer schema version
         by_sv: dict[int, list[str]] = {}
+        has_mor = False
         for b, flist in snap.files.items():
             if want is not None and b not in want:
                 continue
             for fe in flist:
+                has_mor = has_mor or bool(fe.get("mor"))
                 by_sv.setdefault(fe["schema_version"], []).append(
                     os.path.join(self.root, fe["path"])
                 )
@@ -330,6 +341,24 @@ class LakeTable:
             for p in parts[1:]:
                 out = out.unionByName(p)
 
+        if has_mor:
+            # latest-per-key over (key, order): the light conflation —
+            # winner-find on a narrow projection, then a semi join on
+            # (key, order) — never shuffles the payload columns.  The
+            # winner set here is table-sized (every live key of the
+            # selected buckets), so it is NOT broadcast.  Correct
+            # because MoR writes guarantee (key, order) is unique
+            # across file generations (strictly-newer-only deltas).
+            from realdeal_spark.cdc.conflate import conflate
+
+            out = conflate(
+                out,
+                snap.key_columns,
+                snap.order_columns,
+                strategy="light",
+                broadcast_winners=False,
+            )
+
         if snap.soft_delete and not include_deleted:
             out = out.where(~F.col(_DELETED_COL)).drop(_DELETED_COL)
         if not with_bucket:
@@ -339,7 +368,7 @@ class LakeTable:
     # ------------------------------------------------------------- write
 
     def _write_delta(
-        self, df: DataFrame, version: int, schema_version: int
+        self, df: DataFrame, version: int, schema_version: int, mor: bool = False
     ) -> dict[str, list[dict[str, Any]]]:
         """Write a dataframe (with ``_bucket`` col) as one delta dir.
 
@@ -349,6 +378,11 @@ class LakeTable:
         discovery.  Callers repartition by ``_bucket`` first so each
         bucket lands in a single task → one file per touched bucket
         per commit (bounded file counts at scale; compaction below).
+
+        ``mor`` marks the files as merge-on-read deltas: they carry
+        only *changed* rows for their bucket, and readers must
+        reconcile latest-per-key across the bucket's files (see
+        :meth:`read`).  Base / compacted files leave it unset.
         """
         delta = f"delta-{version:09d}"
         out_dir = os.path.join(self.root, _DATA, delta)
@@ -365,12 +399,13 @@ class LakeTable:
             b = d.split("=", 1)[1]
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
-                    files.setdefault(b, []).append(
-                        {
-                            "path": os.path.join(_DATA, delta, d, fn),
-                            "schema_version": schema_version,
-                        }
-                    )
+                    entry = {
+                        "path": os.path.join(_DATA, delta, d, fn),
+                        "schema_version": schema_version,
+                    }
+                    if mor:
+                        entry["mor"] = True
+                    files.setdefault(b, []).append(entry)
         return files
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
@@ -465,6 +500,41 @@ class LakeTable:
         self._commit(out)
         return out
 
+    def commit_file_additions(
+        self,
+        snap: Snapshot,
+        new_version: int,
+        new_files: dict[str, list[dict[str, Any]]],
+        summary: dict[str, Any] | None = None,
+        epoch_id: str | None = None,
+    ) -> Snapshot:
+        """Commit already-written delta files as *additions* to their
+        buckets (no existing file is dropped) — the commit half of the
+        merge-on-read MERGE.  ``new_files`` may be empty: that commits
+        a pure epoch-id marker (a fully no-op epoch still records its
+        exactly-once token)."""
+        files = {b: list(fl) for b, fl in snap.files.items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        applied = list(snap.applied_epochs)
+        if epoch_id is not None:
+            applied.append(epoch_id)
+        out = Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_versions=snap.schema_versions,
+            current_schema=snap.current_schema,
+            n_buckets=snap.n_buckets,
+            key_columns=snap.key_columns,
+            order_columns=snap.order_columns,
+            files=files,
+            summary={"operation": "merge-mor", **(summary or {})},
+            applied_epochs=applied,
+            soft_delete=snap.soft_delete,
+        )
+        self._commit(out)
+        return out
+
     # --------------------------------------------------- schema evolution
 
     def _evolve(self, mutate, op: str) -> Snapshot:
@@ -547,7 +617,12 @@ class LakeTable:
         )
 
     def history(self) -> list[Snapshot]:
-        return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
+        """All snapshots still present on disk, oldest first.
+
+        Iterates the actually-present snapshot files, not a contiguous
+        1..current range — ``expire_snapshots`` unlinks old versions,
+        and history/lineage must keep working afterwards."""
+        return [self.snapshot(v) for v in self.versions()]
 
     def versions(self) -> list[int]:
         names = os.listdir(self._meta_dir())

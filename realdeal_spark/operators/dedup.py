@@ -151,6 +151,10 @@ def _banded_minhash_arrow(
     where built-ins can't express the computation *efficiently*.
     Normalization matches ``normalized_text`` (ASCII ``\\s``, as in
     Java regex).
+
+    The output ``_id`` field keeps the source id column's type (int
+    family or string) — Arrow round-trips both losslessly; other id
+    types should use the expression path.
     """
     import hashlib
     import re as _re
@@ -189,8 +193,9 @@ def _banded_minhash_arrow(
                     bhs.append(hashlib.md5(key.encode()).hexdigest())
             yield pd.DataFrame({"_id": ids, "band": band_ids, "bh": bhs})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        gen, schema="_id bigint, band int, bh string"
+        gen, schema=f"_id {id_type}, band int, bh string"
     )
 
 
@@ -213,7 +218,13 @@ def minhash_lsh_pairs(
     join sides share one signature computation.
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
-    if use_arrow:
+    # Arrow path only for id types that round-trip pandas losslessly;
+    # anything exotic (decimal, struct) falls back to the expression
+    # path, which keeps the source column type end-to-end.
+    arrow_ok = df.schema[id_col].dataType.simpleString() in {
+        "tinyint", "smallint", "int", "bigint", "string"
+    }
+    if use_arrow and arrow_ok:
         banded = _banded_minhash_arrow(
             df, text_col, id_col, num_perm, bands, shingle_n
         )
@@ -235,9 +246,13 @@ def minhash_lsh_pairs(
         banded = with_sig.select(
             "_id", F.explode(F.array(*band_cols)).alias("b")
         ).select("_id", "b.band", "b.bh")
-    # persist: both self-join sides read one materialization (at
-    # cluster scale this is a temp-table checkpoint of ~50B/doc/band)
-    banded = banded.persist()
+    # localCheckpoint (eager): both self-join sides read one
+    # materialization (~50B/doc/band), and — unlike .persist(), which
+    # stays in the CacheManager until an explicit unpersist — the
+    # checkpointed RDD is released by the ContextCleaner as soon as
+    # the returned DataFrame is garbage-collected, so repeated calls
+    # in a long-lived session don't leak executor storage.
+    banded = banded.localCheckpoint(eager=True)
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
@@ -308,20 +323,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """N-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on
     shingle, count intersections per pair, divide by union sizes.
-    The shuffle key is the shingle — fine at scale after dropping
-    ultra-frequent shingles (a stop-shingle filter is the standard
-    guard; omitted here for exact-oracle parity).
+    The shuffle key is the shingle, so one ultra-frequent shingle
+    (a stopword trigram) makes the self-join quadratic on a single
+    key — the classic skewed-key blowup.  ``max_df`` is the guard:
+    shingles appearing in more than ``max_df`` documents are dropped
+    from the index *and* from the per-document sizes, i.e. Jaccard is
+    computed over the capped shingle space (the standard stop-shingle
+    semantics; deterministic, and mirrored exactly in the DuckDB
+    oracle).  The hot-shingle list is tiny by construction, so the
+    drop is a broadcast anti-join — the document side never
+    reshuffles for it.  ``max_df=None`` is the exact uncapped
+    baseline; at scale always set a cap (pairs sharing only
+    ultra-common shingles are noise anyway).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     # shingles are hashed to 48-bit ints before the explode: the
     # inverted-index self-join shuffles 8-byte keys instead of ~20-byte
-    # strings, and the frame is persisted so index, sizes, and both
-    # join sides share one shingling pass.
+    # strings, and the frame is localCheckpoint'ed so index, sizes,
+    # and both join sides share one shingling pass (released by the
+    # ContextCleaner when the result is GC'd — no cache leak across
+    # calls, unlike .persist()).
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -331,7 +358,15 @@ def ngram_jaccard_pairs(
                 )
             ).alias("sh"),
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     l = sh.alias("l")
     r = sh.alias("r")
@@ -393,6 +428,81 @@ def embedding_neardup_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the scale path.
+
+    Multi-table random-hyperplane LSH (similarity.hyperplane_bits_expr,
+    table t = planes ``t*n_planes ..``): a pair is a candidate iff its
+    two vectors land in the same bucket of *some* table; only
+    candidates pay the exact-cosine verification.  Join shape mirrors
+    minhash_lsh_pairs: the candidate self-join sees only
+    (id, table, bucket int) — never vectors — then the distinct pairs
+    join the vectors back by id (fixed-width shuffle, ~8·dim bytes a
+    row).  No cartesian anywhere (asserted in tests/test_plans.py).
+    Recall < 1 by construction; raise ``n_tables`` (linear candidate
+    cost) or lower ``n_planes`` (exponential bucket-size cost) to
+    trade cost for recall — measured in tests/test_operators.py.
+    Bucket derivation is deterministic md5 planes, so the DuckDB
+    oracle regenerates identical buckets.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    from realdeal_spark.operators.similarity import cosine_expr, hyperplane_bits_expr
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bits_expr(
+                    F.col("_v"), dim, n_planes, plane_offset=t * n_planes
+                ).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = (
+        v.select("_id", F.explode(buckets).alias("b"))
+        .select("_id", "b.t", "b.bk")
+        .localCheckpoint(eager=True)  # both join sides share one pass
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.t") == F.col("r.t"),
+                F.col("l.bk") == F.col("r.bk"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

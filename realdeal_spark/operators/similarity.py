@@ -78,9 +78,15 @@ def plane_sign(p: int, j: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
-def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_bits_expr(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """LSH bucket id: sign bits against ``n_planes`` deterministic
     ±1-component hyperplanes.
+
+    ``plane_offset`` selects an independent plane family (planes
+    ``offset .. offset+n_planes-1``) — multi-table LSH uses offsets
+    ``t * n_planes`` for table t to boost recall.
 
     The plane components are Python-side constants folded into the
     plan as ±1 literals — an earlier draft derived them with in-plan
@@ -91,7 +97,8 @@ def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     reproducible and oracle-expressible.
     """
     bucket = F.lit(0)
-    for p in range(n_planes):
+    for p0 in range(n_planes):
+        p = plane_offset + p0
         consts = F.array(*[F.lit(plane_sign(p, j)) for j in range(dim)])
         # compact fold instead of a dim-term Add chain: an unrolled
         # 8×64-term tree was ~4000 expression nodes — too big for
@@ -103,7 +110,7 @@ def hyperplane_bits_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
             F.lit(0.0),
             lambda a, z: a + z,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p0)).otherwise(0)
     return bucket
 
 

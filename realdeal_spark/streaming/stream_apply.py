@@ -52,9 +52,10 @@ class StreamingCdcApplier:
         name: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
-        conflate_strategy: str = "max_by",
+        conflate_strategy: str = "light",
         auto_evolve: bool = False,
         renames: dict[str, str] | None = None,
+        merge_mode: str = "cow",
     ):
         self.table = table
         self.name = name
@@ -63,6 +64,7 @@ class StreamingCdcApplier:
         self.conflate_strategy = conflate_strategy
         self.auto_evolve = auto_evolve
         self.renames = renames
+        self.merge_mode = merge_mode
         self.batch_results: list[tuple[int, MergeResult | None]] = []
 
     # the foreachBatch body — public so tests can drive it directly
@@ -90,6 +92,7 @@ class StreamingCdcApplier:
             src,
             column_merge=self.column_merge,
             epoch_id=epoch_id,
+            mode=self.merge_mode,
         )
         self.batch_results.append((batch_id, res))
         return res

@@ -80,6 +80,56 @@ def test_events_generator_is_shuffle_free(spark):
     assert "Range" in p
 
 
+def test_embedding_bucketed_is_not_cartesian(spark):
+    """The bucketed near-dup must plan as equi-joins on (table,
+    bucket) and id joins — never a cartesian/nested-loop product
+    (the brute-force path's shape).  VERDICT r1 'What's wrong' #2."""
+    import random
+
+    from realdeal_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    p = plan(embedding_neardup_pairs_bucketed(df, dim=8, n_planes=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # sanity: the brute-force baseline IS the nested-loop shape
+    p_brute = plan(embedding_neardup_pairs(df))
+    assert "CartesianProduct" in p_brute or "BroadcastNestedLoopJoin" in p_brute
+
+
+def test_mor_classification_target_read_is_narrow(spark, tmp_path):
+    """The MoR classify join must read only (key, order, deleted) from
+    the target parquet — payload columns pruned at the scan."""
+    import datetime as dt
+
+    from realdeal_spark.lake.table import _DELETED_COL, LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary",
+        ["url"],
+        ["warc_ts", "lsn"],
+        n_buckets=4,
+        soft_delete=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(f"u{i}", dt.datetime(2024, 1, 1), i, b"x" * 10) for i in range(50)],
+            "url string, warc_ts timestamp_ntz, lsn bigint, html binary",
+        )
+    )
+    narrow = t.read(include_deleted=True).select("url", "warc_ts", "lsn", _DELETED_COL)
+    p = plan(narrow)
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "html" not in scan
+
+
 def test_lake_read_prunes_buckets(spark, tmp_path):
     """Bucket-pruned read lists only the pruned buckets' files."""
     from realdeal_spark.lake.table import LakeTable
