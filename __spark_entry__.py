@@ -394,6 +394,210 @@ def q_scalar_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_time_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 epoch-millis→date, F8 location concat, F10 name
+    normalization, F16 safe-parse predicate — the remaining scalar
+    family, oracle-checked (VERDICT r1 'missing' #1/#10)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.col("event_id") * 98765432 + F.lit(1234567890123)
+    city = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("SF"))
+        .when(F.col("user_id") % 3 == 1, F.lit("San José"))
+        .otherwise(F.lit("Austin"))
+    )
+    return ev.select(
+        "event_id",
+        SC.epoch_millis_to_date(ms).alias("listed_date"),
+        SC.location_concat(SC.city_normalize(city), F.col("event_type")).alias(
+            "location"
+        ),
+        SC.safe_int_predicate(F.get_json_object(F.col("props"), "$.k")).alias(
+            "k_is_int"
+        ),
+    )
+
+
+_SCALAR_TIME_LOC_SQL = """
+select event_id,
+       strftime(date '1970-01-01'
+                + cast(floor((event_id * 98765432 + 1234567890123)
+                             / 86400000) as int), '%m/%d/%Y') as listed_date,
+       concat_ws(', ',
+         case when user_id % 3 = 0 then 'San Francisco'
+              when user_id % 3 = 1 then 'San Jose'
+              else 'Austin' end,
+         event_type) as location,
+       try_cast(json_extract_string(props, '$.k') as bigint) is not null
+         as k_is_int
+from events
+"""
+
+
+def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 partitioned header-CSV sink, proven by round trip: write
+    the rollup partitioned by event_type, read it back with an
+    explicit schema, match the oracle that never touched CSV.
+    (Reference: write_csv.py:19-24 DictWriter + per-region
+    sales_records files, scrape_redfin.py:47-57.)"""
+    from realdeal_spark.sources.io import write_partitioned_csv
+
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    out = tempfile.mkdtemp(prefix="rds_csv_") + "/rollup"
+    write_partitioned_csv(agg, out, "event_type", mode="overwrite")
+    return spark.read.option("header", "true").schema(
+        "n bigint, min_value double, max_value double, event_type string"
+    ).csv(out)
+
+
+_SINK_ROLLUP_SQL = """
+select event_type, count(*) as n,
+       round(min(value), 6) as min_value,
+       round(max(value), 6) as max_value
+from events group by event_type
+"""
+
+
+def q_sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 JSON scan + sink round trip with explicit schema (the
+    reference's JSON-array stage boundary, find_new_properties.py:
+    51-52, re-expressed as splittable JSONL)."""
+    from realdeal_spark.sources.io import read_json_batch, write_json_batch
+
+    ev = _t(spark, sf_dir, "events")
+    slim = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="rds_json_") + "/purchases"
+    write_json_batch(slim, out, mode="overwrite")
+    return read_json_batch(
+        spark, out, "event_id bigint, user_id bigint, value double",
+        multi_line=False,
+    )
+
+
+_SINK_JSON_SQL = """
+select event_id, user_id, round(value, 6) as value
+from events where event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo joins (SURVEY §2.3 J5/J6 — reference update_address_data.py:38-71
+# and the notebook ZipGeoCoder, recast network-free)
+# ---------------------------------------------------------------------------
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (lat, lon) per event in [0, 10)², derived from the
+    testdata (no external data): pure integer-mod arithmetic then one
+    double division — bit-identical in Spark and DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") % 1000) / F.lit(100.0)).alias("lon"),
+        ((F.col("user_id") % 1000) / F.lit(100.0)).alias("lat"),
+    )
+
+
+_GEO_POINTS_SQL = (
+    "select event_id, (event_id % 1000) / 100.0 as lon, "
+    "(user_id % 1000) / 100.0 as lat from events"
+)
+
+
+def q_geo_grid_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 reverse geocode as a broadcast grid-lookup join: each point
+    maps to a 0.1°-cell, the cell joins (broadcast) to precomputed
+    region attributes.  The grid here is derived from the points'
+    own distinct cells (minus every 7th cell, so the left join has
+    real misses) with the region name keyed by cell_id % 5."""
+    from realdeal_spark.operators.geo import grid_cell_expr, grid_geocode_join
+
+    points = _geo_points(spark, sf_dir)
+    r = _t(spark, sf_dir, "region")
+    cells = points.select(
+        grid_cell_expr(F.col("lat"), F.col("lon"), 0.1).alias("cell_id")
+    ).distinct()
+    grid = (
+        cells.where(F.col("cell_id") % 7 != 0)
+        .join(F.broadcast(r), F.col("cell_id") % 5 == F.col("r_regionkey"))
+        .select("cell_id", F.col("r_name").alias("region_name"))
+    )
+    return grid_geocode_join(points, grid, "lat", "lon", "cell_id", 0.1).select(
+        "event_id", "cell_id", "region_name"
+    )
+
+
+_GEO_GRID_SQL = f"""
+with pts as ({_GEO_POINTS_SQL}),
+keyed as (
+  select event_id, lat, lon,
+         cast(floor(lat / 0.1) as bigint) * 100000
+           + cast(floor(lon / 0.1) as bigint) as cell_id
+  from pts),
+grid as (
+  select c.cell_id, r.r_name as region_name
+  from (select distinct cell_id from keyed) c
+  join region r on c.cell_id % 5 = r.r_regionkey
+  where c.cell_id % 7 <> 0)
+select k.event_id, k.cell_id, g.region_name
+from keyed k left join grid g on k.cell_id = g.cell_id
+"""
+
+
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 exact point-in-polygon: 25 deterministic triangles (one per
+    nation, centers on a 5×5 lattice), bbox prune JVM-side, exact
+    even-odd ray cast in an Arrow-batched pandas UDF; the oracle
+    unrolls the same three crossing tests in SQL with the identical
+    IEEE expression order."""
+    from realdeal_spark.operators.geo import point_in_polygon_join
+
+    points = _geo_points(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    cx = (F.col("n_nationkey") % 5) * 2.0 + 1.0
+    cy = F.floor(F.col("n_nationkey") / 5) * 2.0 + 1.0
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(cx - 0.8, cx + 0.8, cx).alias("xs"),
+        F.array(cy - 0.8, cy - 0.8, cy + 0.9).alias("ys"),
+    )
+    return point_in_polygon_join(points, polys).select("event_id", "poly_id")
+
+
+def _geo_pip_sql() -> str:
+    # even-odd ray cast, unrolled for the 3-vertex polygons; edge
+    # pairs (i, j) mirror operators/geo._ray_cast's 0-based
+    # (0,2),(1,0),(2,1) in 1-based indexing
+    terms = []
+    for i, j in ((1, 3), (2, 1), (3, 2)):
+        cross = (
+            f"((q.ys[{i}] > p.lat) <> (q.ys[{j}] > p.lat)) and "
+            f"(p.lon < q.xs[{i}] + ((p.lat - q.ys[{i}]) * (q.xs[{j}] - q.xs[{i}]))"
+            f" / (q.ys[{j}] - q.ys[{i}]))"
+        )
+        terms.append(f"(case when {cross} then 1 else 0 end)")
+    return f"""
+with pts as ({_GEO_POINTS_SQL}),
+polys as (
+  select n_nationkey as poly_id,
+         [cx - 0.8, cx + 0.8, cx] as xs,
+         [cy - 0.8, cy - 0.8, cy + 0.9] as ys
+  from (select n_nationkey,
+               (n_nationkey % 5) * 2.0 + 1.0 as cx,
+               floor(n_nationkey / 5) * 2.0 + 1.0 as cy
+        from nation))
+select p.event_id, q.poly_id
+from pts p cross join polys q
+where ({' + '.join(terms)}) % 2 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data pipeline mandate)
 # ---------------------------------------------------------------------------
@@ -905,6 +1109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_revenue": q_join_orders_revenue,
         "scalar_derived_columns": q_scalar_derived_columns,
         "scalar_json_extract": q_scalar_json_extract,
+        "scalar_time_location": q_scalar_time_location,
+        # sink round trips
+        "sink_roundtrip_csv": q_sink_roundtrip_csv,
+        "sink_roundtrip_json": q_sink_roundtrip_json,
+        # geo joins
+        "geo_grid_lookup": q_geo_grid_lookup,
+        "geo_point_in_polygon": q_geo_point_in_polygon,
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_detect": q_text_lang_detect,
@@ -1025,6 +1236,11 @@ select event_id,
        coalesce(cast(json_extract_string(props, '$.k') as int), -1) as k
 from events
 """,
+        "scalar_time_location": _SCALAR_TIME_LOC_SQL,
+        "sink_roundtrip_csv": _SINK_ROLLUP_SQL,
+        "sink_roundtrip_json": _SINK_JSON_SQL,
+        "geo_grid_lookup": _GEO_GRID_SQL,
+        "geo_point_in_polygon": _geo_pip_sql(),
         "text_stats": _TEXT_STATS_SQL,
         "text_lang_detect": _lang_detect_sql(),
         "dedup_exact": f"""

@@ -99,6 +99,7 @@ class CdcApplier:
         merge_mode: str = "cow",
         compact_every: int | None = None,
         compact_max_files: int = 4,
+        report_sink: Callable[[EpochReport], None] | None = None,
     ):
         self.table = table
         self.lsn_col = lsn_col
@@ -111,6 +112,7 @@ class CdcApplier:
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
         self._epochs_since_compact = 0
+        self.report_sink = report_sink
         self.reports: list[EpochReport] = []
 
     # ------------------------------------------------------------ state
@@ -278,6 +280,8 @@ class CdcApplier:
 
     def _record(self, r: EpochReport) -> EpochReport:
         self.reports.append(r)
+        if self.report_sink is not None:
+            self.report_sink(r)
         return r
 
     def lineage(self) -> list[dict]:

@@ -74,9 +74,15 @@ def location_concat(*cols: str | Column) -> Column:
 
 
 def epoch_millis_to_date(col: str | Column, fmt: str = "MM/dd/yyyy") -> Column:
-    """epoch-millis → formatted date string (F3: redfin_client.py:122-124)."""
+    """epoch-millis → formatted date string (F3: redfin_client.py:122-124).
+
+    Computed via days-since-epoch (``date_from_unix_date``), not a
+    timestamp render: the result is then independent of the session
+    timezone — the same query gives the same bytes on any cluster
+    (and matches the UTC-naive DuckDB oracle bit-for-bit)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(F.timestamp_seconds(c.cast("double") / 1000.0), fmt)
+    days = F.floor(c / F.lit(86400000)).cast("int")
+    return F.date_format(F.date_from_unix_date(days), fmt)
 
 
 def title_case(col: str | Column) -> Column:

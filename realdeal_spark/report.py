@@ -37,6 +37,29 @@ def _render_cell(value, ctype: CellType) -> str:
     return html.escape(str(value))
 
 
+def render_html_table(
+    rows: list[dict],
+    names: list[str],
+    columns: dict[str, CellType] | None = None,
+    title: str | None = None,
+) -> str:
+    """Render plain dict rows as a typed HTML table (driver-side)."""
+    columns = columns or {}
+    out = []
+    if title:
+        out.append(f"<h2>{html.escape(title)}</h2>")
+    out.append("<table border='1'><tr>")
+    out.extend(f"<th>{html.escape(n)}</th>" for n in names)
+    out.append("</tr>")
+    for r in rows:
+        out.append("<tr>")
+        for n in names:
+            out.append(f"<td>{_render_cell(r.get(n), columns.get(n, 'string'))}</td>")
+        out.append("</tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
 def render_html_report(
     df: DataFrame,
     columns: dict[str, CellType] | None = None,
@@ -49,19 +72,64 @@ def render_html_report(
     field-type table, email_deals.py:27-37); unspecified columns
     render as escaped strings.
     """
-    columns = columns or {}
     names = df.columns
-    rows = df.limit(limit).collect()
-    out = []
-    if title:
-        out.append(f"<h2>{html.escape(title)}</h2>")
-    out.append("<table border='1'><tr>")
-    out.extend(f"<th>{html.escape(n)}</th>" for n in names)
-    out.append("</tr>")
-    for r in rows:
-        out.append("<tr>")
-        for n in names:
-            out.append(f"<td>{_render_cell(r[n], columns.get(n, 'string'))}</td>")
-        out.append("</tr>")
-    out.append("</table>")
-    return "".join(out)
+    rows = [r.asDict() for r in df.limit(limit).collect()]
+    return render_html_table(rows, names, columns, title)
+
+
+class EpochReportSink:
+    """Per-epoch report artifact sink — completes S12.
+
+    The reference renders the day's deals as a typed HTML table and
+    *sends* it (email_deals.py:48-91 render, :106-126 SMTP send); the
+    transport is environment-specific, so the engine's analogue is a
+    durable artifact per epoch next to the lineage: an append-only
+    ``epochs.jsonl`` (machine-readable; one line per epoch) plus one
+    rendered ``epoch-<id>.html`` table (human-readable, same typed
+    cell renderer as the reference's email body).  A notifier tails
+    the directory — the send stays out of the engine core.
+
+    Pass as ``CdcApplier(report_sink=...)``; called once per epoch
+    with the EpochReport (skipped-epoch replays included, flagged).
+    """
+
+    _COLUMNS: dict[str, CellType] = {
+        "events_in": "int",
+        "conflated": "int",
+        "inserted": "int",
+        "updated": "int",
+        "deleted": "int",
+        "unchanged": "int",
+        "stale": "int",
+        "wall_ms": "float",
+        "events_per_sec": "float",
+    }
+    _FIELDS = [
+        "epoch_id", "lsn_start", "lsn_end", "snapshot_version", "events_in",
+        "conflated", "inserted", "updated", "deleted", "unchanged", "stale",
+        "wall_ms", "events_per_sec", "skipped",
+    ]
+
+    def __init__(self, out_dir: str, title: str = "CDC epoch report"):
+        import os
+
+        self.out_dir = out_dir
+        self.title = title
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, report) -> None:
+        import json
+        import os
+        from dataclasses import asdict
+
+        d = asdict(report)
+        d["events_per_sec"] = round(report.events_per_sec, 1)
+        with open(os.path.join(self.out_dir, "epochs.jsonl"), "a") as f:
+            f.write(json.dumps(d, sort_keys=True) + "\n")
+        page = render_html_table(
+            [d], self._FIELDS, self._COLUMNS,
+            title=f"{self.title} — {report.epoch_id}",
+        )
+        safe_id = report.epoch_id.replace(":", "_").replace("/", "_")
+        with open(os.path.join(self.out_dir, f"epoch-{safe_id}.html"), "w") as f:
+            f.write(page)

@@ -21,16 +21,24 @@ from pyspark.sql import types as T
 
 
 def read_json_batch(
-    spark: SparkSession, path: str, schema: T.StructType | str
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    multi_line: bool = True,
 ) -> DataFrame:
     """JSON batch scan with explicit schema (S1).
 
-    ``multiLine=True`` accepts the reference's JSON-*array* file shape
-    (one array per file), while still reading JSONL if given.
+    ``multi_line=True`` accepts the reference's JSON-*array* file
+    shape (one array per file); pass ``False`` for JSONL (one object
+    per line — the splittable shape write_json_batch emits; multiLine
+    would swallow all but the first object per file).
     An explicit schema is required: schema inference is a full extra
     pass over the data — never acceptable at scale.
     """
-    return spark.read.schema(schema).option("multiLine", "true").json(path)
+    reader = spark.read.schema(schema)
+    if multi_line:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)
 
 
 def write_json_batch(df: DataFrame, path: str, mode: str = "error") -> None:

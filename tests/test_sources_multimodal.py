@@ -25,8 +25,10 @@ def _df(spark):
 
 def test_json_roundtrip(spark, tmp_path):
     p = str(tmp_path / "j")
-    write_json_batch(_df(spark), p)
-    back = read_json_batch(spark, p, SCHEMA)
+    # coalesce(1): several objects land in ONE file, so the JSONL read
+    # mode is actually exercised (multiLine would read 1 object/file)
+    write_json_batch(_df(spark).coalesce(1), p)
+    back = read_json_batch(spark, p, SCHEMA, multi_line=False)
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
 
 
