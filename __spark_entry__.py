@@ -184,9 +184,9 @@ def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read MERGE path (J2 at 100-TB shape): replay the
-    change log in four lsn-range epochs, each writing only *changed*
+    change log in three lsn-range epochs, each writing only *changed*
     rows as per-bucket delta files; reads reconcile latest-per-key,
-    and a mid-replay compact() folds deltas into base files.  Same
+    and a final compact() folds deltas into base files.  Same
     replay-equivalence oracle as the CoW path — the two modes must be
     indistinguishable from the final state."""
     log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
@@ -206,11 +206,11 @@ def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         soft_delete=True,
     )
     applier = CdcApplier(
-        table, lsn_col="event_id", merge_mode="mor", compact_every=2,
-        compact_max_files=2,
+        table, lsn_col="event_id", merge_mode="mor", compact_every=3,
+        compact_max_files=1,
     )
     mx = log.agg(F.max("event_id")).first()[0]
-    applier.run(log, epoch_size=int(mx) // 4 + 1)
+    applier.run(log, epoch_size=int(mx) // 3 + 1)
     return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
 
 

@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E  # noqa: E402
 from realdeal_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# the round-1 suite (kept stable for cross-round comparability; its
+# subtotal is reported as value_r1_subset)
+HEADLINE_R1 = [
     "cdc_merge_replay",
     "cdc_latest_state",
     "cdc_conflate_window_salted",
@@ -43,6 +45,16 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_brute_force",
     "knn_lsh_bucketed",
+]
+
+# round-2 additions: the merge-on-read replay (the 100-TB MERGE path),
+# the bucketed embedding near-dup (scale path vs the O(n²) baseline),
+# and the geo join family
+HEADLINE = HEADLINE_R1 + [
+    "cdc_merge_replay_mor",
+    "dedup_embedding_bucketed",
+    "geo_point_in_polygon",
+    "geo_grid_lookup",
 ]
 
 
@@ -78,6 +90,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # like-for-like vs round 1 / BASELINE.md (the 16-query suite)
+        "value_r1_subset": round(sum(timings[n] for n in HEADLINE_R1), 3),
         "merge_events_per_sec": merge_eps,
         "merge_events": n_events,
         "cpus": cpus,

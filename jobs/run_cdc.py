@@ -59,9 +59,17 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] master; omit under a cluster manager")
     ap.add_argument("--max-epochs", type=int, default=None)
-    ap.add_argument("--conflate", default="light",
-                    choices=["light", "max_by", "window"],
-                    help="conflation strategy (light avoids payload shuffle)")
+    ap.add_argument("--conflate", default="auto",
+                    choices=["auto", "light", "max_by", "window"],
+                    help="conflation strategy (auto: light for binary "
+                         "payloads, else max_by)")
+    ap.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
+                    help="cow rewrites touched buckets; mor appends "
+                         "per-bucket deltas (O(changes) writes)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="with mor: fold deltas into base every N epochs")
+    ap.add_argument("--report-dir", default=None,
+                    help="write per-epoch JSONL + HTML report artifacts here")
     args = ap.parse_args(argv)
 
     spark = get_spark(
@@ -97,8 +105,15 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     transform = with_text if args.extract_text else None
+    report_sink = None
+    if args.report_dir:
+        from realdeal_spark.report import EpochReportSink
+
+        report_sink = EpochReportSink(args.report_dir)
     applier = CdcApplier(
-        table, lsn_col="lsn", transform=transform, conflate_strategy=args.conflate
+        table, lsn_col="lsn", transform=transform,
+        conflate_strategy=args.conflate, merge_mode=args.merge_mode,
+        compact_every=args.compact_every, report_sink=report_sink,
     )
 
     bounds = (0, args.synthetic_events - 1) if args.synthetic_events else None

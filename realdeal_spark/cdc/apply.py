@@ -72,12 +72,17 @@ class CdcApplier:
     (update_mortage_data/update_address_data/update_zillow_data)
     compressed into one vectorized pass.
 
-    ``conflate_strategy`` defaults to ``"light"``: a CDC source
-    guarantees the light strategy's preconditions (unique, non-null
-    order tuple per key — the binlog lsn), and for wide/binary
-    payload rows (html) the max_by alternative shuffles the full
-    payload through a SortAggregate — profiled disk-bound and
-    anti-scaling at 40M+ rows (BENCH_SCALING.md).
+    ``conflate_strategy`` defaults to ``"auto"``, resolved per epoch
+    from the table's current schema: **light** when any payload
+    column is ``binary`` (web-page CDC — html blobs; max_by would
+    shuffle the full payload through a SortAggregate, profiled
+    disk-bound and anti-scaling at 40M+ rows, BENCH_SCALING.md), else
+    **max_by** (narrow rows — the payload shuffle is cheap and max_by
+    has the lowest fixed cost per epoch: one aggregation instead of
+    light's aggregation + two semi joins).  A CDC source guarantees
+    light's preconditions (unique, non-null order tuple per key — the
+    binlog lsn).  Both strategies are oracle-checked to identical
+    results; set the strategy explicitly to pin one.
 
     ``merge_mode="mor"`` switches the MERGE to merge-on-read (write
     only changed rows as per-bucket deltas; see lake.merge) — the
@@ -93,7 +98,7 @@ class CdcApplier:
         lsn_col: str = "lsn",
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
-        conflate_strategy: str = "light",
+        conflate_strategy: str = "auto",
         auto_evolve: bool = False,
         renames: dict[str, str] | None = None,
         merge_mode: str = "cow",
@@ -131,6 +136,19 @@ class CdcApplier:
     @staticmethod
     def epoch_id_for(lsn_start: int, lsn_end: int) -> str:
         return f"lsn:{lsn_start}-{lsn_end}"
+
+    def _resolve_strategy(self, snap) -> str:
+        """'auto' → 'light' iff the table carries a binary payload
+        column (see class docstring); resolved per epoch so schema
+        evolution (e.g. adding an html column) flips it correctly."""
+        if self.conflate_strategy != "auto":
+            return self.conflate_strategy
+        keyed = set(snap.key_columns) | set(snap.order_columns)
+        fields = self.table._schema_version(snap, snap.current_schema).fields
+        wide = any(
+            f["type"] == "binary" for f in fields if f["name"] not in keyed
+        )
+        return "light" if wide else "max_by"
 
     # ------------------------------------------------------------ epochs
 
@@ -171,8 +189,9 @@ class CdcApplier:
         # twice in one DAG (winner-find + semi join), which would
         # double-count an Observation — there, count on a key-column
         # projection instead (columnar scan of one column).
+        strategy = self._resolve_strategy(snap)
         obs = None
-        if self.conflate_strategy == "light":
+        if strategy == "light":
             n_in = batch.select(self.lsn_col).count()
         else:
             obs = Observation(f"epoch-{epoch_id}")
@@ -181,7 +200,7 @@ class CdcApplier:
             batch,
             snap.key_columns,
             snap.order_columns,
-            strategy=self.conflate_strategy,
+            strategy=strategy,
         )
         if self.transform is not None:
             conflated = self.transform(conflated)

@@ -52,7 +52,7 @@ class StreamingCdcApplier:
         name: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         column_merge: str = "replace",
-        conflate_strategy: str = "light",
+        conflate_strategy: str = "auto",
         auto_evolve: bool = False,
         renames: dict[str, str] | None = None,
         merge_mode: str = "cow",
@@ -75,11 +75,22 @@ class StreamingCdcApplier:
         if epoch_id in snap.applied_epochs:
             self.batch_results.append((batch_id, None))  # replay → skip
             return None
+        strategy = self.conflate_strategy
+        if strategy == "auto":
+            # same payload-shape heuristic as CdcApplier: binary
+            # payload → payload-light conflation, else max_by
+            keyed = set(snap.key_columns) | set(snap.order_columns)
+            fields = self.table._schema_version(snap, snap.current_schema).fields
+            strategy = (
+                "light"
+                if any(f["type"] == "binary" for f in fields if f["name"] not in keyed)
+                else "max_by"
+            )
         src = conflate(
             batch_df,
             snap.key_columns,
             snap.order_columns,
-            strategy=self.conflate_strategy,
+            strategy=strategy,
         )
         if self.transform is not None:
             src = self.transform(src)

@@ -223,3 +223,23 @@ def test_lineage_records_offsets_to_snapshots(spark, tmp_path):
     spans = sorted((e["lsn_start"], e["lsn_end"]) for e in lin)
     for (s1, e1), (s2, _) in zip(spans, spans[1:]):
         assert s2 == e1 + 1
+
+
+def test_auto_conflate_strategy_resolution(spark, tmp_path):
+    """auto → light iff a binary payload column exists; flips when
+    schema evolution adds one."""
+    narrow = LakeTable.create(
+        spark, str(tmp_path / "narrow"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, score double",
+        ["url"], ["warc_ts", "lsn"], 4, soft_delete=True,
+    )
+    a = CdcApplier(narrow)
+    assert a._resolve_strategy(narrow.snapshot()) == "max_by"
+    wide = _mk_table(spark, tmp_path)  # has html binary
+    b = CdcApplier(wide)
+    assert b._resolve_strategy(wide.snapshot()) == "light"
+    narrow.add_column("html", "binary")
+    assert a._resolve_strategy(narrow.snapshot()) == "light"
+    # explicit pin wins
+    c = CdcApplier(wide, conflate_strategy="window")
+    assert c._resolve_strategy(wide.snapshot()) == "window"

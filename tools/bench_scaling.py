@@ -47,27 +47,63 @@ def run_best(cpus: int, events: int, extract: bool, n_urls: int, reps: int) -> d
     return max(runs, key=lambda r: r["events_per_sec"])
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=80_000_000)
     ap.add_argument("--n", type=int, default=1, help="small level; big = 4n")
     ap.add_argument("--n-urls", type=int, default=500_000)
-    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="best-of reps within each level, per pair")
+    ap.add_argument("--pairs", type=int, default=1,
+                    help="repeated (N, 4N) pairs; efficiency reported "
+                         "per pair and as the median (variance control)")
     ap.add_argument("--extract-text", action="store_true")
     args = ap.parse_args()
 
-    small = run_best(args.n, args.events, args.extract_text, args.n_urls, args.reps)
-    big = run_best(4 * args.n, args.events, args.extract_text, args.n_urls, args.reps)
-    eff = big["events_per_sec"] / (4.0 * small["events_per_sec"])
+    pairs = []
+    for i in range(args.pairs):
+        small = run_best(
+            args.n, args.events, args.extract_text, args.n_urls, args.reps
+        )
+        big = run_best(
+            4 * args.n, args.events, args.extract_text, args.n_urls, args.reps
+        )
+        eff = big["events_per_sec"] / (4.0 * small["events_per_sec"])
+        pairs.append(
+            {
+                "pair": i + 1,
+                f"eps@local[{args.n}]": small["events_per_sec"],
+                f"eps@local[{4 * args.n}]": big["events_per_sec"],
+                f"wall@local[{args.n}]": small["wall_sec"],
+                f"wall@local[{4 * args.n}]": big["wall_sec"],
+                "efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(pairs[-1]), flush=True)
+
+    effs = [p["efficiency"] for p in pairs]
+    small_key = f"eps@local[{args.n}]"
+    big_key = f"eps@local[{4 * args.n}]"
+    # efficiency of medians: pairs the two levels' *typical* runs,
+    # immune to a single slow outlier on either side
+    med_eff = _median([p[big_key] for p in pairs]) / (
+        4.0 * _median([p[small_key] for p in pairs])
+    )
     report = {
         "events": args.events,
         "extract_text": args.extract_text,
-        f"events_per_sec@local[{args.n}]": small["events_per_sec"],
-        f"events_per_sec@local[{4 * args.n}]": big["events_per_sec"],
-        f"wall@local[{args.n}]": small["wall_sec"],
-        f"wall@local[{4 * args.n}]": big["wall_sec"],
-        "speedup": round(big["events_per_sec"] / small["events_per_sec"], 3),
-        "scaling_efficiency_n_to_4n": round(eff, 3),
+        "pairs": pairs,
+        "per_pair_efficiency": effs,
+        "median_pair_efficiency": round(_median(effs), 3),
+        "efficiency_of_medians": round(med_eff, 3),
+        f"median_eps@local[{args.n}]": _median([p[small_key] for p in pairs]),
+        f"median_eps@local[{4 * args.n}]": _median([p[big_key] for p in pairs]),
     }
     print(json.dumps(report, indent=2))
     md = [
@@ -93,11 +129,19 @@ def main() -> None:
         "| --- | --- |",
     ]
     for k, v in report.items():
+        if k == "pairs":
+            continue
         md.append(f"| {k} | {v} |")
     md.append("")
+    md.append("Per-pair runs:")
+    md.append("```json")
+    md.append(json.dumps(pairs, indent=1))
+    md.append("```")
+    md.append("")
     md.append(
-        f"**Scaling efficiency N→4N: {report['scaling_efficiency_n_to_4n']}**"
-        " (target ≥ 0.8)."
+        f"**Median pair efficiency N→4N: {report['median_pair_efficiency']}; "
+        f"efficiency of medians: {report['efficiency_of_medians']}** "
+        "(target ≥ 0.8)."
     )
     # write a fresh-run artifact; BENCH_SCALING.md is the curated record
     with open(os.path.join(REPO, "BENCH_SCALING_latest.md"), "w") as f:

@@ -80,6 +80,83 @@ def main() -> None:
         ),
     ]
 
+    # bucketed embedding near-dup: equi-join on (table, bucket), never
+    # a cartesian (contrast with the brute-force baseline)
+    from realdeal_spark.operators.dedup import embedding_neardup_pairs_bucketed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections.append(
+        (
+            "Bucketed embedding near-dup (LSH candidates)",
+            "SortMergeJoin/ShuffledHashJoin on (t, bk, id<id) for candidate "
+            "generation and id equi-joins to re-attach vectors — no "
+            "CartesianProduct / BroadcastNestedLoopJoin anywhere (the "
+            "brute-force baseline's shape).",
+            embedding_neardup_pairs_bucketed(emb, dim=64, n_planes=4, n_tables=2),
+        )
+    )
+
+    # MoR classification target read: payload pruned at the scan
+    import datetime as dt
+    import shutil
+
+    from realdeal_spark.lake.table import _DELETED_COL, LakeTable
+
+    shutil.rmtree("/tmp/rds_plan_mor", ignore_errors=True)
+    t = LakeTable.create(
+        spark, "/tmp/rds_plan_mor",
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary",
+        ["url"], ["warc_ts", "lsn"], n_buckets=4, soft_delete=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(f"u{i}", dt.datetime(2024, 1, 1), i, b"x" * 100) for i in range(100)],
+            "url string, warc_ts timestamp_ntz, lsn bigint, html binary",
+        )
+    )
+    narrow = t.read(include_deleted=True).select(
+        "url", "warc_ts", "lsn", _DELETED_COL
+    )
+    sections.append(
+        (
+            "MoR classification target read (narrow projection)",
+            "ReadSchema contains only (url, warc_ts, lsn, _bucket, _deleted) "
+            "— the html payload is pruned at the parquet scan, so the "
+            "merge-on-read classify join costs O(narrow bytes) regardless "
+            "of payload width.",
+            narrow,
+        )
+    )
+
+    # geo point-in-polygon: broadcast polygons + bbox prune before the
+    # Arrow ray-cast
+    from realdeal_spark.operators.geo import point_in_polygon_join
+
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 1000) / F.lit(100.0)).alias("lon"),
+        ((F.col("user_id") % 1000) / F.lit(100.0)).alias("lat"),
+    )
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    cx = (F.col("n_nationkey") % 5) * 2.0 + 1.0
+    cy = F.floor(F.col("n_nationkey") / 5) * 2.0 + 1.0
+    polys = nat.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(cx - 0.8, cx + 0.8, cx).alias("xs"),
+        F.array(cy - 0.8, cy - 0.8, cy + 0.9).alias("ys"),
+    )
+    sections.append(
+        (
+            "Point-in-polygon join (broadcast + bbox prune + Arrow ray cast)",
+            "BroadcastNestedLoopJoin on the bbox predicate against the "
+            "*broadcast polygon table* (thousands of polygons vs billions "
+            "of points — the small side is broadcast, the point side never "
+            "shuffles), then ArrowEvalPython for the exact test on bbox "
+            "survivors only.",
+            point_in_polygon_join(pts, polys).select("event_id", "poly_id"),
+        )
+    )
+
     out = [
         "# EXPLAIN — physical plans of the core operators",
         "",
