@@ -191,8 +191,16 @@ class CdcApplier:
         # projection instead (columnar scan of one column).
         strategy = self._resolve_strategy(snap)
         obs = None
+        conflate_kwargs = {}
         if strategy == "light":
             n_in = batch.select(self.lsn_col).count()
+            # winner sets bounded by the batch size: broadcast the
+            # winner list only when it surely fits (a 1.9M-row winner
+            # broadcast profiled as a driver-side stall — the
+            # fallback's shuffled semi join is still payload-light)
+            from realdeal_spark.lake.merge import BROADCAST_KEYS_MAX
+
+            conflate_kwargs["broadcast_winners"] = n_in <= BROADCAST_KEYS_MAX
         else:
             obs = Observation(f"epoch-{epoch_id}")
             batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -201,6 +209,7 @@ class CdcApplier:
             snap.key_columns,
             snap.order_columns,
             strategy=strategy,
+            **conflate_kwargs,
         )
         if self.transform is not None:
             conflated = self.transform(conflated)

@@ -54,6 +54,13 @@ OP_INSERT = "insert"
 OP_UPDATE = "update"
 OP_DELETE = "delete"
 
+# winner-key sets at or below this row count are broadcast when routing
+# payload rows (MoR winner semi join); above it the join falls back to
+# a shuffle.  ~1M keys ≈ 60-100 MB hash relation — comfortably inside
+# a normal executor, far past the point where a binlog epoch's
+# admission budget should sit anyway (SURVEY ST4).
+BROADCAST_KEYS_MAX = 1_000_000
+
 
 def _prep_source(table: LakeTable, snap: Snapshot, source: DataFrame):
     """Shared validation + projection for both MERGE modes: the source
@@ -332,7 +339,15 @@ def _merge_apply_mor(
             table.read(buckets=touched, include_deleted=True)
             .select(*key_cols, *order_cols, _DELETED_COL)
         )
-        s = src.alias("s")
+        # classification is fully NARROW: only (key, order, op) of the
+        # source meets the target projection — the html/binary payload
+        # never enters this join's shuffle.  The winner keys then route
+        # the payload rows out of the persisted source with a broadcast
+        # hash join when they fit (payload side map-only), falling back
+        # to a shuffled join for huge batches (initial loads) — the
+        # same payload-light discipline as cdc.conflate's light
+        # strategy, applied to the MERGE itself.
+        s = src.select(*key_cols, *order_cols, OP_COL).alias("s")
         t = tgt.alias("t")
         joined = s.join(
             t, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols], how="left"
@@ -354,9 +369,7 @@ def _merge_apply_mor(
         )
         classified = joined.select(
             action.alias("_action"),
-            F.col(f"s.{_BUCKET_COL}").alias(_BUCKET_COL),
-            is_delete.alias(_DELETED_COL),
-            *[F.col(f"s.{c}").alias(c) for c in data_cols],
+            *[F.col(f"s.{c}").alias(c) for c in key_cols],
         )
 
         cnt = lambda a: F.sum(
@@ -372,28 +385,19 @@ def _merge_apply_mor(
             cnt("unchanged").alias("unch"),
             cnt("stale").alias("stale"),
         )
-        winners = (
-            observed.where(
-                F.col("_action").isin("insert", "update", "delete", "tombstone")
-            )
-            .drop("_action")
-            .select(*data_cols, F.col(_BUCKET_COL), F.col(_DELETED_COL))
-            .repartition(min(max(len(touched), 1), 256), _BUCKET_COL)
-        )
-        new_version = snap.version + 1
-        new_files = table._write_delta(
-            winners, new_version, snap.current_schema, mor=True
-        )
+        winner_keys = observed.where(
+            F.col("_action").isin("insert", "update", "delete", "tombstone")
+        ).select(*key_cols)
+        # materialize: the count gates the broadcast AND fires the
+        # Observation in one narrow job
+        n_winners = winner_keys.count()
         try:
             m = {k: int(v) for k, v in obs.get.items()}
         except Exception:
-            # When no row survives the winner filter, AQE's
-            # empty-relation propagation can eliminate the
-            # CollectMetrics node (the filter sits above it in the
-            # DataFrame but is pushed below at planning).  Recompute
-            # the action counts directly — one aggregation over the
-            # (persisted) source joined to the narrow target; only the
-            # all-noop epoch pays it.
+            # AQE's empty-relation propagation can eliminate the
+            # CollectMetrics node when nothing survives the winner
+            # filter; recompute the (narrow) action counts directly —
+            # only the all-noop epoch pays this.
             counts = {
                 r["_action"]: r["n"]
                 for r in classified.groupBy("_action")
@@ -408,6 +412,8 @@ def _merge_apply_mor(
                 "unch": counts.get("unchanged", 0),
                 "stale": counts.get("stale", 0),
             }
+
+        new_version = snap.version + 1
         result = MergeResult(
             snapshot=None,
             inserted=m["ins"],
@@ -417,17 +423,29 @@ def _merge_apply_mor(
             stale=m["stale"],
             touched_buckets=touched,
         )
-        if result.effective_changes + m["tomb"] == 0:
-            # nothing written that matters: drop the (empty) delta dir;
-            # still commit a marker snapshot if an epoch id must be
-            # recorded for exactly-once.
-            shutil.rmtree(
-                os.path.join(table.root, _DATA, f"delta-{new_version:09d}"),
-                ignore_errors=True,
-            )
+        if n_winners == 0:
+            # pure no-op epoch: nothing to write; still commit a
+            # marker snapshot if an epoch id must be recorded for
+            # exactly-once.
             if epoch_id is None:
                 return result
-            new_files = {}
+            new_files: dict = {}
+        else:
+            wk = winner_keys
+            if n_winners <= BROADCAST_KEYS_MAX:
+                wk = F.broadcast(wk)
+            winners = (
+                src.join(wk, on=key_cols, how="left_semi")
+                .select(
+                    *data_cols,
+                    F.col(_BUCKET_COL),
+                    (F.col(OP_COL) == OP_DELETE).alias(_DELETED_COL),
+                )
+                .repartition(min(max(len(touched), 1), 256), _BUCKET_COL)
+            )
+            new_files = table._write_delta(
+                winners, new_version, snap.current_schema, mor=True
+            )
         result.rewritten_buckets = sorted(int(b) for b in new_files)
         summary = {
             "inserted": result.inserted,

@@ -28,11 +28,26 @@ _FORMATS = ["img", "audio", "video"]
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode would return an ndarray; no imaging libs here."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not available in this container; "
-        "use fake_meta() for the deterministic test path"
-    )
+    """Decode image bytes to an HxWx3 uint8 ndarray.
+
+    Pip-probe: uses PIL when the environment ships it (so the stub is
+    the *fallback*, not the only path); raises ``NotImplementedError``
+    otherwise — this container has no imaging libs, so tests exercise
+    the probe-and-fallback branch plus :func:`fake_meta`.
+    """
+    try:
+        from io import BytesIO
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires PIL (pip install pillow), not available "
+            "in this container; use fake_meta() for the deterministic "
+            "test path"
+        ) from None
+    with Image.open(BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def fake_meta(payload: bytes) -> dict:
@@ -75,15 +90,46 @@ def binary_meta(
     return df.mapInPandas(gen, schema=META_SCHEMA.format(id=id_col))
 
 
+def fake_frames(payload: bytes, frame_bytes: int = 256) -> list[bytes]:
+    """Deterministic fake frame extractor: fixed-stride byte slices.
+    Stands in for a codec-backed extractor (pyav/opencv) that this
+    container can't ship; same output contract (list of frame blobs)."""
+    return [payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)]
+
+
 def sample_frames(
     df: DataFrame,
+    id_col: str = "doc_id",
     payload_col: str = "payload",
     every_n: int = 30,
+    extractor=None,
 ) -> DataFrame:
-    """Frame-sampling stub: the real implementation would mapInPandas
-    over video payloads and explode sampled frames; decode is not
-    available in this container."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library; the mapInPandas "
-        "shape is identical to binary_meta()"
+    """Every-n-th frame per video payload, exploded to one row each.
+
+    The Spark-side plumbing is the real production path: Arrow-batched
+    ``mapInPandas``, rows exploded per payload, narrow typed output
+    ``(id, frame_idx, frame binary)`` that downstream decode/resize
+    stages consume batch-wise.  Only the *codec* is pluggable:
+    ``extractor(payload) -> list[bytes]`` defaults to the
+    deterministic :func:`fake_frames` (no codec libs in this
+    container); production passes a pyav/opencv-backed extractor with
+    the identical contract.
+    """
+    ex = extractor or fake_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                fr = ex(bytes(payload))
+                for k in range(0, len(fr), every_n):
+                    ids.append(_id)
+                    idxs.append(k)
+                    frames.append(fr[k])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(
+        gen, schema=f"{id_col} bigint, frame_idx int, frame binary"
     )

@@ -62,6 +62,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill scratch location.  On this single-box sandbox every
+    # executor thread shares ONE /tmp device, so disk-backed shuffle is
+    # a contention point a real cluster doesn't have (per-executor
+    # local disks); point SPARK_GRAFT_LOCAL_DIR at a tmpfs (/dev/shm)
+    # to measure engine scaling without that substrate artifact.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if master:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():

@@ -190,3 +190,15 @@ def test_mor_time_travel_and_expire(spark, tmp_path):
     hist = t.history()
     assert [s.version for s in hist] == [t.current_version()]
     assert bytes(_state(t)["a"]["html"]).decode() == "A2"
+
+
+def test_mor_hot_key_skew(spark, tmp_path):
+    """One url carries ~50% of events; MoR replay (payload-light
+    conflation + narrow classify) still matches the oracle."""
+    ev = generate_change_events(
+        spark, n_events=400, n_urls=50, hot_share_percent=50,
+        delete_percent=10, ooo_percent=20,
+    )
+    t = _mk_table(spark, tmp_path, n_buckets=4)
+    CdcApplier(t, merge_mode="mor").run(ev, epoch_size=100)
+    _assert_oracle(t, ev)

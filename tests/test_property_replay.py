@@ -74,9 +74,10 @@ def test_replay_equals_oracle_any_epoching(spark, tmp_path_factory, rows, epoch_
     )
     events = _df(spark, rows, seed)
     strategy = ["max_by", "window", "light"][seed % 3]
-    applier = CdcApplier(table, conflate_strategy=strategy)
+    mode = ["cow", "mor"][(seed // 3) % 2]
+    applier = CdcApplier(table, conflate_strategy=strategy, merge_mode=mode)
     applier.run(events, epoch_size=epoch_size, lsn_bounds=(0, len(rows) - 1))
-    assert _actual(table) == _expected(events), f"strategy={strategy}"
+    assert _actual(table) == _expected(events), f"strategy={strategy} mode={mode}"
 
 
 @settings(
@@ -105,7 +106,9 @@ def test_two_different_epochings_converge(spark, tmp_path_factory, rows, split, 
     CdcApplier(t1).apply_epoch(events, 0, hi)
     t2 = mk("two")
     cut = min(split, hi)
-    a2 = CdcApplier(t2)
+    # cross-mode convergence: chopped replay through MoR deltas must
+    # equal the single CoW epoch
+    a2 = CdcApplier(t2, merge_mode=["cow", "mor"][seed % 2])
     a2.apply_epoch(events, 0, cut)
     if cut < hi:
         a2.apply_epoch(events, cut + 1, hi)

@@ -74,6 +74,42 @@ def test_binary_meta_matches_fake_decode(spark):
         assert got["format"] == expect["format"]
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8")
+def test_real_decode_probes_pil():
+    """decode_image is a pip-probe: real decode when PIL is present,
+    NotImplementedError fallback otherwise (this container: absent)."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 3), (10, 20, 30)).save(buf, format="PNG")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (3, 2, 3)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8")
+
+
+def test_sample_frames_plumbing(spark):
+    """The mapInPandas frame-sampling shape with the deterministic
+    extractor: fixed 256-byte pseudo-frames, every 2nd kept."""
+    from realdeal_spark.operators.multimodal import fake_frames, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 700), (2, b"b" * 100)], "doc_id bigint, payload binary"
+    )
+    out = sample_frames(df, every_n=2).collect()
+    rows = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # 700 bytes → frames [0:256][256:512][512:700]; every 2nd → idx 0, 2
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}
+    assert rows[(1, 0)] == b"a" * 256
+    assert rows[(1, 2)] == b"a" * (700 - 512)
+    assert rows[(2, 0)] == b"b" * 100
+    assert fake_frames(b"x" * 300) == [b"x" * 256, b"x" * 44]

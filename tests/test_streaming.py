@@ -114,3 +114,32 @@ def test_streaming_auto_evolve(spark, tmp_path):
     rows = table.read().collect()
     assert any(r["fetch_status"] == 200 for r in rows)
     assert any(r["fetch_status"] is None for r in rows)  # pre-drift winners
+
+
+def test_streaming_mor_drain_matches_replay(spark, tmp_path):
+    """The streaming wrapper over the merge-on-read path: availableNow
+    drain through MoR deltas converges to the naive-replay state, and
+    a replayed batch id stays a no-op."""
+    events = generate_change_events(
+        spark, n_events=500, n_urls=70, seed=9, delete_percent=10, ooo_percent=15
+    )
+    src_dir = tmp_path / "log_mor"
+    events.withColumn("part", (F.col("lsn") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(str(src_dir))
+
+    table = _mk_table(spark, tmp_path, name="pages_mor")
+    applier = StreamingCdcApplier(table, name="m1", merge_mode="mor")
+    stream = StreamingCdcApplier.file_source(
+        spark, f"{src_dir}/part=*", EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = applier.start(stream, str(tmp_path / "ckpt_mor"))
+    q.awaitTermination(120)
+    assert _visible(table) == _expected(events)
+    snap = table.snapshot()
+    assert any(fe.get("mor") for fl in snap.files.values() for fe in fl)
+    # replay the first batch id → exactly-once no-op
+    v = table.current_version()
+    batch0 = spark.read.schema(EVENT_SCHEMA).parquet(f"{src_dir}/part=0")
+    assert applier.apply_batch(batch0, 0) is None
+    assert table.current_version() == v

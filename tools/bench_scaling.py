@@ -23,7 +23,14 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, events: int, extract: bool, n_urls: int) -> dict:
+def run_once(
+    cpus: int,
+    events: int,
+    extract: bool,
+    n_urls: int,
+    pin: bool = False,
+    scale_mem: bool = False,
+) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "run_cdc.py"),
         "--synthetic-events", str(events),
@@ -31,19 +38,40 @@ def run_once(cpus: int, events: int, extract: bool, n_urls: int) -> dict:
         "--epoch-size", str(events),  # one epoch: sustained-throughput shape
         "--cpus", str(cpus),
     ]
+    if pin:
+        # CPU-affinity pinning: without it an "N-core" JVM still burns
+        # extra cores on parallel GC / netty / parquet-flush threads,
+        # inflating the small level's throughput and *depressing* the
+        # measured efficiency.  Pinning bounds the whole process tree
+        # to exactly N cores — the honest definition of "N executors
+        # × 1 core" on a shared box (standard scaling-study practice).
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     if extract:
         cmd.append("--extract-text")
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    env = dict(os.environ)
+    if scale_mem:
+        # hold memory *per core* constant across levels — the honest
+        # cluster analogue: "4N executors" bring 4N heaps, not one
+        # N-sized heap split 4 ways (equal total heap at both levels
+        # quadruples GC pressure per core at the big level).
+        env["SPARK_DRIVER_MEM"] = f"{8 * cpus}g"
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if out.returncode != 0:
         raise RuntimeError(f"run at {cpus} cpus failed:\n{out.stderr[-3000:]}")
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
 
-def run_best(cpus: int, events: int, extract: bool, n_urls: int, reps: int) -> dict:
+def run_best(
+    cpus: int, events: int, extract: bool, n_urls: int, reps: int,
+    pin: bool = False, scale_mem: bool = False,
+) -> dict:
     """Best-of-N: this sandbox VM shows large run-to-run variance
     (disk/page-cache state); best-of mirrors standard bench practice."""
-    runs = [run_once(cpus, events, extract, n_urls) for _ in range(reps)]
+    runs = [
+        run_once(cpus, events, extract, n_urls, pin, scale_mem)
+        for _ in range(reps)
+    ]
     return max(runs, key=lambda r: r["events_per_sec"])
 
 
@@ -64,15 +92,24 @@ def main() -> None:
                     help="repeated (N, 4N) pairs; efficiency reported "
                          "per pair and as the median (variance control)")
     ap.add_argument("--extract-text", action="store_true")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each run to exactly N cpus (see "
+                         "run_once; controls GC/background-thread bleed)")
+    ap.add_argument("--scale-mem", action="store_true",
+                    help="8g heap per core at both levels (the N-vs-4N "
+                         "*executors* analogue: more executors bring "
+                         "more total heap)")
     args = ap.parse_args()
 
     pairs = []
     for i in range(args.pairs):
         small = run_best(
-            args.n, args.events, args.extract_text, args.n_urls, args.reps
+            args.n, args.events, args.extract_text, args.n_urls, args.reps,
+            args.pin, args.scale_mem,
         )
         big = run_best(
-            4 * args.n, args.events, args.extract_text, args.n_urls, args.reps
+            4 * args.n, args.events, args.extract_text, args.n_urls, args.reps,
+            args.pin, args.scale_mem,
         )
         eff = big["events_per_sec"] / (4.0 * small["events_per_sec"])
         pairs.append(
@@ -98,6 +135,8 @@ def main() -> None:
     report = {
         "events": args.events,
         "extract_text": args.extract_text,
+        "pinned": args.pin,
+        "scaled_mem": args.scale_mem,
         "pairs": pairs,
         "per_pair_efficiency": effs,
         "median_pair_efficiency": round(_median(effs), 3),
