@@ -193,14 +193,27 @@ class CdcApplier:
         obs = None
         conflate_kwargs = {}
         if strategy == "light":
-            n_in = batch.select(self.lsn_col).count()
-            # winner sets bounded by the batch size: broadcast the
-            # winner list only when it surely fits (a 1.9M-row winner
-            # broadcast profiled as a driver-side stall — the
-            # fallback's shuffled semi join is still payload-light)
+            # one narrow pass yields BOTH the admission count and an
+            # HLL estimate of distinct keys (≈ the winner-set size):
+            # the winner list is broadcast only when it surely fits —
+            # a 1.9M-row winner broadcast profiled as a driver-side
+            # stall, while falsely *disabling* the broadcast on a big
+            # epoch with few keys reintroduces the payload shuffle
+            # (profiled: 80M events / 500k urls went from ~350s to
+            # >50min at 1 core).  Hence: gate on keys, not events.
             from realdeal_spark.lake.merge import BROADCAST_KEYS_MAX
 
-            conflate_kwargs["broadcast_winners"] = n_in <= BROADCAST_KEYS_MAX
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(
+                    F.xxhash64(*snap.key_columns), rsd=0.05
+                ).alias("d"),
+            ).first()
+            n_in = int(stats["n"])
+            est_keys = int(stats["d"])
+            conflate_kwargs["broadcast_winners"] = (
+                est_keys * 1.3 <= BROADCAST_KEYS_MAX
+            )
         else:
             obs = Observation(f"epoch-{epoch_id}")
             batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
