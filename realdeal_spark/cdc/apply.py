@@ -30,6 +30,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from realdeal_spark.cdc.admission import admission_stats, resolve_strategy
 from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.lake.merge import MergeResult, merge_apply
 from realdeal_spark.lake.table import LakeTable
@@ -74,9 +75,11 @@ class CdcApplier:
 
     ``conflate_strategy`` defaults to ``"auto"``, resolved per epoch
     from the table's current schema: **light** when any payload
-    column is ``binary`` (web-page CDC — html blobs; max_by would
-    shuffle the full payload through a SortAggregate, profiled
-    disk-bound and anti-scaling at 40M+ rows, BENCH_SCALING.md), else
+    column has an unbounded-width type — binary, string, array, map
+    (web-page CDC html blobs, but equally the extracted ``text``
+    string downstream; max_by would shuffle the full payload through
+    a SortAggregate, profiled disk-bound and anti-scaling at 40M+
+    rows, BENCH_SCALING.md), else
     **max_by** (narrow rows — the payload shuffle is cheap and max_by
     has the lowest fixed cost per epoch: one aggregation instead of
     light's aggregation + two semi joins).  A CDC source guarantees
@@ -138,17 +141,11 @@ class CdcApplier:
         return f"lsn:{lsn_start}-{lsn_end}"
 
     def _resolve_strategy(self, snap) -> str:
-        """'auto' → 'light' iff the table carries a binary payload
-        column (see class docstring); resolved per epoch so schema
-        evolution (e.g. adding an html column) flips it correctly."""
-        if self.conflate_strategy != "auto":
-            return self.conflate_strategy
-        keyed = set(snap.key_columns) | set(snap.order_columns)
-        fields = self.table._schema_version(snap, snap.current_schema).fields
-        wide = any(
-            f["type"] == "binary" for f in fields if f["name"] not in keyed
-        )
-        return "light" if wide else "max_by"
+        """'auto' → 'light' iff the table carries an unbounded-width
+        payload column (binary OR string/array/map — an extracted
+        ``text`` column shuffles like an html blob); shared with the
+        streaming applier via cdc.admission."""
+        return resolve_strategy(self.table, snap, self.conflate_strategy)
 
     # ------------------------------------------------------------ epochs
 
@@ -194,26 +191,12 @@ class CdcApplier:
         conflate_kwargs = {}
         if strategy == "light":
             # one narrow pass yields BOTH the admission count and an
-            # HLL estimate of distinct keys (≈ the winner-set size):
-            # the winner list is broadcast only when it surely fits —
-            # a 1.9M-row winner broadcast profiled as a driver-side
-            # stall, while falsely *disabling* the broadcast on a big
-            # epoch with few keys reintroduces the payload shuffle
-            # (profiled: 80M events / 500k urls went from ~350s to
-            # >50min at 1 core).  Hence: gate on keys, not events.
-            from realdeal_spark.lake.merge import BROADCAST_KEYS_MAX
-
-            stats = batch.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(
-                    F.xxhash64(*snap.key_columns), rsd=0.05
-                ).alias("d"),
-            ).first()
-            n_in = int(stats["n"])
-            est_keys = int(stats["d"])
-            conflate_kwargs["broadcast_winners"] = (
-                est_keys * 1.3 <= BROADCAST_KEYS_MAX
-            )
+            # HLL estimate of distinct keys (≈ the winner-set size);
+            # see cdc.admission for the gate's rationale (broadcast
+            # iff the winner set surely fits; gate on keys, not
+            # events).
+            n_in, _est_keys, bcast = admission_stats(batch, snap.key_columns)
+            conflate_kwargs["broadcast_winners"] = bcast
         else:
             obs = Observation(f"epoch-{epoch_id}")
             batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))

@@ -28,10 +28,14 @@ micro-batch engine and the token is the snapshot property.
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
+from realdeal_spark.cdc.admission import admission_stats, resolve_strategy
+from realdeal_spark.cdc.apply import EpochReport
 from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.lake.merge import MergeResult, merge_apply
 from realdeal_spark.lake.table import LakeTable
@@ -56,6 +60,7 @@ class StreamingCdcApplier:
         auto_evolve: bool = False,
         renames: dict[str, str] | None = None,
         merge_mode: str = "cow",
+        report_sink: Callable[[EpochReport], None] | None = None,
     ):
         self.table = table
         self.name = name
@@ -65,32 +70,43 @@ class StreamingCdcApplier:
         self.auto_evolve = auto_evolve
         self.renames = renames
         self.merge_mode = merge_mode
+        self.report_sink = report_sink
         self.batch_results: list[tuple[int, MergeResult | None]] = []
+        self.reports: list[EpochReport] = []
+        # (events_in, est_distinct_keys, broadcast_winners) of the most
+        # recent light-path batch — observable by tests and operators.
+        self.last_admission: tuple[int, int, bool] | None = None
 
     # the foreachBatch body — public so tests can drive it directly
     # (e.g. to simulate a post-crash replay of the same batchId).
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> MergeResult | None:
         epoch_id = f"stream:{self.name}:{batch_id}"
+        t0 = time.monotonic()
         snap = self.table.snapshot()
         if epoch_id in snap.applied_epochs:
             self.batch_results.append((batch_id, None))  # replay → skip
+            self._report(batch_id, epoch_id, None, 0, t0, skipped=True)
             return None
-        strategy = self.conflate_strategy
-        if strategy == "auto":
-            # same payload-shape heuristic as CdcApplier: binary
-            # payload → payload-light conflation, else max_by
-            keyed = set(snap.key_columns) | set(snap.order_columns)
-            fields = self.table._schema_version(snap, snap.current_schema).fields
-            strategy = (
-                "light"
-                if any(f["type"] == "binary" for f in fields if f["name"] not in keyed)
-                else "max_by"
-            )
+        # strategy + winner-broadcast admission shared with CdcApplier
+        # (cdc.admission): a huge first/backfill micro-batch through
+        # auto→light must NOT broadcast an over-cap winner set — the
+        # same driver-stall cliff the batch path gates against.
+        strategy = resolve_strategy(self.table, snap, self.conflate_strategy)
+        obs = None
+        conflate_kwargs = {}
+        if strategy == "light":
+            n_in, est_keys, bcast = admission_stats(batch_df, snap.key_columns)
+            conflate_kwargs["broadcast_winners"] = bcast
+            self.last_admission = (n_in, est_keys, bcast)
+        else:
+            obs = Observation(f"stream-{epoch_id}")
+            batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
         src = conflate(
             batch_df,
             snap.key_columns,
             snap.order_columns,
             strategy=strategy,
+            **conflate_kwargs,
         )
         if self.transform is not None:
             src = self.transform(src)
@@ -105,8 +121,51 @@ class StreamingCdcApplier:
             epoch_id=epoch_id,
             mode=self.merge_mode,
         )
+        if obs is not None:
+            try:
+                n_in = int(obs.get["n"])
+            except Exception:
+                n_in = 0  # empty batch: observed node emitted nothing
         self.batch_results.append((batch_id, res))
+        self._report(batch_id, epoch_id, res, n_in, t0)
         return res
+
+    def _report(
+        self,
+        batch_id: int,
+        epoch_id: str,
+        res: MergeResult | None,
+        n_in: int,
+        t0: float,
+        skipped: bool = False,
+    ) -> None:
+        """Per-micro-batch lineage/metrics record (S12 on the streaming
+        path): same EpochReport shape as the batch applier, with the
+        streaming batchId standing in for the lsn range."""
+        r = EpochReport(
+            epoch_id=epoch_id,
+            lsn_start=batch_id,
+            lsn_end=batch_id,
+            events_in=n_in,
+            conflated=(
+                res.inserted + res.updated + res.deleted + res.unchanged + res.stale
+                if res
+                else 0
+            ),
+            inserted=res.inserted if res else 0,
+            updated=res.updated if res else 0,
+            deleted=res.deleted if res else 0,
+            unchanged=res.unchanged if res else 0,
+            stale=res.stale if res else 0,
+            snapshot_version=res.snapshot.version if res and res.snapshot else None,
+            touched_buckets=res.touched_buckets if res else [],
+            rewritten_buckets=res.rewritten_buckets if res else [],
+            wall_ms=(time.monotonic() - t0) * 1000,
+            skipped=skipped,
+        )
+        self.reports.append(r)
+        if self.report_sink is not None:
+            self.report_sink(r)
 
     def start(
         self,

@@ -116,6 +116,99 @@ def test_streaming_auto_evolve(spark, tmp_path):
     assert any(r["fetch_status"] is None for r in rows)  # pre-drift winners
 
 
+def test_streaming_winner_broadcast_gated(spark, tmp_path, monkeypatch):
+    """A micro-batch whose distinct-key estimate exceeds the broadcast
+    cap must run light conflation WITHOUT broadcasting winners (the
+    batch applier's round-2 fix, shared via cdc.admission) — and still
+    converge to the same state."""
+    import realdeal_spark.lake.merge as merge_mod
+    import realdeal_spark.streaming.stream_apply as sa_mod
+
+    events = generate_change_events(spark, n_events=300, n_urls=60, seed=5)
+    table = _mk_table(spark, tmp_path)
+
+    seen_kwargs = []
+    real_conflate = sa_mod.conflate
+
+    def spy(df, keys, orders, **kw):
+        seen_kwargs.append(dict(kw))
+        return real_conflate(df, keys, orders, **kw)
+
+    monkeypatch.setattr(sa_mod, "conflate", spy)
+
+    # cap far below the 60 distinct urls → gate must disable broadcast
+    monkeypatch.setattr(merge_mod, "BROADCAST_KEYS_MAX", 10)
+    applier = StreamingCdcApplier(table, name="gate1")
+    res = applier.apply_batch(events, batch_id=0)
+    assert res is not None and res.snapshot is not None
+    assert applier.last_admission is not None
+    n_in, est_keys, bcast = applier.last_admission
+    assert n_in == 300 and est_keys > 10 and bcast is False
+    assert seen_kwargs[-1]["strategy"] == "light"
+    assert seen_kwargs[-1]["broadcast_winners"] is False
+    assert _visible(table) == _expected(events)
+
+    # cap back above → broadcast re-enabled on the next batch
+    monkeypatch.setattr(merge_mod, "BROADCAST_KEYS_MAX", 1_000_000)
+    more = generate_change_events(spark, n_events=100, n_urls=20, seed=6).withColumn(
+        "lsn", F.col("lsn") + 1000
+    )
+    applier.apply_batch(more, batch_id=1)
+    assert applier.last_admission[2] is True
+    assert seen_kwargs[-1]["broadcast_winners"] is True
+
+
+def test_resolve_strategy_payload_width(spark, tmp_path):
+    """auto-conflation must treat a wide *string* payload (extracted
+    text — this engine's own downstream shape) as payload-heavy, not
+    just binary; fixed-width payloads stay on max_by."""
+    from realdeal_spark.cdc.admission import resolve_strategy
+
+    text_table = LakeTable.create(
+        spark,
+        str(tmp_path / "text_t"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, text string",
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=4,
+        soft_delete=True,
+    )
+    snap = text_table.snapshot()
+    assert resolve_strategy(text_table, snap, "auto") == "light"
+    assert resolve_strategy(text_table, snap, "max_by") == "max_by"  # explicit wins
+
+    narrow_table = LakeTable.create(
+        spark,
+        str(tmp_path / "narrow_t"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, price double, n int",
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=4,
+        soft_delete=True,
+    )
+    assert resolve_strategy(narrow_table, narrow_table.snapshot(), "auto") == "max_by"
+
+
+def test_streaming_report_sink(spark, tmp_path):
+    """S12 on the streaming path: every micro-batch emits an
+    EpochReport through the sink, with lineage + counts."""
+    events = generate_change_events(spark, n_events=200, n_urls=40, seed=12)
+    table = _mk_table(spark, tmp_path)
+    sunk = []
+    applier = StreamingCdcApplier(table, name="rs1", report_sink=sunk.append)
+    applier.apply_batch(events, batch_id=0)
+    applier.apply_batch(events, batch_id=0)  # replay → skipped report
+    assert len(sunk) == 2
+    first, replay = sunk
+    assert first.epoch_id == "stream:rs1:0" and not first.skipped
+    assert first.events_in == 200
+    assert first.conflated == first.inserted + first.updated + first.deleted + (
+        first.unchanged + first.stale
+    )
+    assert first.snapshot_version == table.current_version()
+    assert replay.skipped and replay.snapshot_version is None
+
+
 def test_streaming_mor_drain_matches_replay(spark, tmp_path):
     """The streaming wrapper over the merge-on-read path: availableNow
     drain through MoR deltas converges to the naive-replay state, and
