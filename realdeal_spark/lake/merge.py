@@ -367,8 +367,26 @@ def _merge_apply_mor(
             .when(~t_visible, F.lit("insert"))  # new key or resurrect
             .otherwise(F.lit("update"))
         )
+        # precondition guard: MoR classifies equal-order events as
+        # "unchanged" (exact replay of the stored event), which is
+        # only equivalent to CoW's tie-wins under the documented
+        # unique-order-tuple rule.  The dangerous violation — a
+        # *conflicting* event carrying the stored row's exact order
+        # tuple but implying different visibility (e.g. a tying
+        # delete of a visible row, which MoR would silently drop and
+        # CoW would apply) — is detectable payload-free, so it is
+        # counted on the same job and raises instead of diverging.
+        # (An equal-order update with different payload values is not
+        # detectable without reading the payload; that residual case
+        # remains the documented precondition.)
+        order_conflict = (
+            t_present
+            & (s_order == t_order)
+            & (is_delete != F.col(f"t.{_DELETED_COL}"))
+        )
         classified = joined.select(
             action.alias("_action"),
+            order_conflict.cast("long").alias("_order_conflict"),
             *[F.col(f"s.{c}").alias(c) for c in key_cols],
         )
 
@@ -384,26 +402,37 @@ def _merge_apply_mor(
             cnt("tombstone").alias("tomb"),
             cnt("unchanged").alias("unch"),
             cnt("stale").alias("stale"),
+            F.sum("_order_conflict").alias("conflict"),
         )
-        winner_keys = observed.where(
-            F.col("_action").isin("insert", "update", "delete", "tombstone")
-        ).select(*key_cols)
-        # materialize: the count gates the broadcast AND fires the
-        # Observation in one narrow job
+        # localCheckpoint materializes the classification ONCE: the
+        # count below, the Observation, and the winner-routing semi
+        # join all read the checkpointed (narrow: keys only) result —
+        # without it the observed plan re-executed the target scan +
+        # classify join a second time inside the routing join.
+        winner_keys = (
+            observed.where(
+                F.col("_action").isin("insert", "update", "delete", "tombstone")
+            )
+            .select(*key_cols)
+            .localCheckpoint(eager=True)
+        )
         n_winners = winner_keys.count()
         try:
-            m = {k: int(v) for k, v in obs.get.items()}
+            m = {k: int(v or 0) for k, v in obs.get.items()}
         except Exception:
             # AQE's empty-relation propagation can eliminate the
             # CollectMetrics node when nothing survives the winner
             # filter; recompute the (narrow) action counts directly —
             # only the all-noop epoch pays this.
-            counts = {
-                r["_action"]: r["n"]
-                for r in classified.groupBy("_action")
-                .agg(F.count(F.lit(1)).alias("n"))
+            rows = (
+                classified.groupBy("_action")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("_order_conflict").alias("c"),
+                )
                 .collect()
-            }
+            )
+            counts = {r["_action"]: r["n"] for r in rows}
             m = {
                 "ins": counts.get("insert", 0),
                 "upd": counts.get("update", 0),
@@ -411,7 +440,16 @@ def _merge_apply_mor(
                 "tomb": counts.get("tombstone", 0),
                 "unch": counts.get("unchanged", 0),
                 "stale": counts.get("stale", 0),
+                "conflict": sum(int(r["c"] or 0) for r in rows),
             }
+        if m.pop("conflict", 0):
+            raise ValueError(
+                "MoR merge: source batch carries event(s) with an order "
+                "tuple equal to the stored row's but conflicting "
+                "visibility (e.g. a tying delete of a live row) — the "
+                "order tuple must be unique per key (binlog lsn); use "
+                "mode='cow' if ties must win"
+            )
 
         new_version = snap.version + 1
         result = MergeResult(

@@ -409,7 +409,18 @@ class LakeTable:
         return files
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
-        """Plain append (no key semantics) — used for initial loads."""
+        """Plain append (no key semantics) — used for initial loads.
+
+        Order columns are validated non-null (the check rides the
+        write job as an Observation — no extra scan): the MoR
+        read-time reconcile and the light conflation both lose rows
+        whose order values are null (``F.max`` skips nulls and the
+        equality semi join never matches them), so a null-order row
+        appended today would silently vanish from reads the moment
+        its bucket gains a MoR delta.  Fail loudly at the write
+        instead."""
+        from pyspark.sql import Observation
+
         snap = self.snapshot()
         cur = self._schema_version(snap, snap.current_schema)
         new_version = snap.version + 1
@@ -421,7 +432,35 @@ class LakeTable:
             self.bucket_expr(snap).alias(_BUCKET_COL),
             *extra,
         ).repartition(min(snap.n_buckets, 256), _BUCKET_COL)
+        obs = None
+        if snap.order_columns:
+            null_order = F.lit(False)
+            for c in snap.order_columns:
+                null_order = null_order | F.col(c).isNull()
+            obs = Observation()
+            with_bucket = with_bucket.observe(
+                obs,
+                F.sum(F.when(null_order, 1).otherwise(0).cast("long")).alias("n"),
+            )
         new_files = self._write_delta(with_bucket, new_version, snap.current_schema)
+        if obs is not None:
+            try:
+                n_null = int(obs.get["n"] or 0)
+            except Exception:
+                n_null = 0  # empty input: observed node emitted nothing
+            if n_null:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.root, _DATA, f"delta-{new_version:09d}"),
+                    ignore_errors=True,
+                )
+                raise ValueError(
+                    f"append: {n_null} row(s) have null order column(s) "
+                    f"{snap.order_columns} — such rows are invisible to "
+                    "MoR reconcile / light conflation; clean or default "
+                    "them before appending"
+                )
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b, fl in new_files.items():
             files.setdefault(b, []).extend(fl)

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-META_SCHEMA = "{id} bigint, n_bytes int, width int, height int, format string"
+META_SCHEMA = "{id} {id_type}, n_bytes int, width int, height int, format string"
 
 _FORMATS = ["img", "audio", "video"]
 
@@ -87,7 +87,11 @@ def binary_meta(
                 }
             )
 
-    return df.mapInPandas(gen, schema=META_SCHEMA.format(id=id_col))
+    # id type follows the input schema (string doc ids fail Arrow
+    # conversion under a hardcoded bigint — same class of bug as the
+    # dedup Arrow path's id handling)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(gen, schema=META_SCHEMA.format(id=id_col, id_type=id_type))
 
 
 def fake_frames(payload: bytes, frame_bytes: int = 256) -> list[bytes]:
@@ -130,6 +134,7 @@ def sample_frames(
                 {id_col: ids, "frame_idx": idxs, "frame": frames}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        gen, schema=f"{id_col} bigint, frame_idx int, frame binary"
+        gen, schema=f"{id_col} {id_type}, frame_idx int, frame binary"
     )

@@ -192,6 +192,62 @@ def test_mor_time_travel_and_expire(spark, tmp_path):
     assert bytes(_state(t)["a"]["html"]).decode() == "A2"
 
 
+def test_mor_classification_materialized_once(spark, tmp_path, monkeypatch):
+    """The classification result must be localCheckpoint-ed (narrow:
+    key columns only) so the Observation count and the winner-routing
+    semi join share ONE execution of the target scan + classify join."""
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]), mode="mor")
+
+    calls = []
+    df_cls = type(spark.range(1))
+    real = df_cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(list(self.columns))
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", spy)
+    r = merge_apply(t, _events_df(spark, [(2, "update", "a", 20, "A2")]), mode="mor")
+    assert r.updated == 1
+    # exactly one checkpoint during the MoR apply, of the key projection
+    assert ["url"] in calls
+
+
+def test_mor_tying_conflict_raises(spark, tmp_path):
+    """A delete carrying the stored row's exact order tuple violates
+    the unique-order precondition (MoR would silently drop it, CoW
+    would apply it) — must raise, not diverge."""
+    import pytest
+
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(7, "insert", "a", 10, "A1")]), mode="mor")
+    with pytest.raises(ValueError, match="order tuple"):
+        merge_apply(t, _events_df(spark, [(7, "delete", "a", 10, None)]), mode="mor")
+    # exact replay of the SAME event stays a legal no-op
+    r = merge_apply(t, _events_df(spark, [(7, "insert", "a", 10, "A1")]), mode="mor")
+    assert r.unchanged == 1 and r.effective_changes == 0
+    assert bytes(_state(t)["a"]["html"]).decode() == "A1"
+
+
+def test_append_null_order_rejected(spark, tmp_path):
+    """Null order columns would make rows invisible to MoR reconcile /
+    light conflation — append must fail loudly and leave no trace."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = _mk_table(spark, tmp_path)
+    v0 = t.current_version()
+    good = _events_df(spark, [(1, "insert", "a", 10, "A1")]).drop("op")
+    bad = good.withColumn("lsn", F.lit(None).cast("bigint"))
+    with pytest.raises(ValueError, match="null order"):
+        t.append(bad)
+    assert t.current_version() == v0
+    assert t.snapshot().files == {}
+    t.append(good)  # clean rows still append fine
+    assert t.read().count() == 1
+
+
 def test_mor_hot_key_skew(spark, tmp_path):
     """One url carries ~50% of events; MoR replay (payload-light
     conflation + narrow classify) still matches the oracle."""

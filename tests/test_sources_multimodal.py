@@ -113,3 +113,19 @@ def test_sample_frames_plumbing(spark):
     assert rows[(1, 2)] == b"a" * (700 - 512)
     assert rows[(2, 0)] == b"b" * 100
     assert fake_frames(b"x" * 300) == [b"x" * 256, b"x" * 44]
+
+
+def test_multimodal_string_ids(spark):
+    """Non-bigint doc ids must flow through both mapInPandas passes —
+    the output id type is derived from the input schema."""
+    from realdeal_spark.operators.multimodal import binary_meta, sample_frames
+
+    df = spark.createDataFrame(
+        [("doc-a", bytearray(b"x" * 600)), ("doc-b", bytearray(b"y" * 100))],
+        "doc_id string, payload binary",
+    )
+    meta = {r["doc_id"]: r["n_bytes"] for r in binary_meta(df).collect()}
+    assert meta == {"doc-a": 600, "doc-b": 100}
+    frames = sample_frames(df, every_n=1, extractor=None).collect()
+    assert {r["doc_id"] for r in frames} == {"doc-a", "doc-b"}
+    assert all(isinstance(r["doc_id"], str) for r in frames)
