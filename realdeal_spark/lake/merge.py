@@ -272,10 +272,16 @@ def merge_apply(
         )
         if result.effective_changes + int(m["tomb"]) == 0 and epoch_id is None:
             # pure no-op batch: drop the just-written delta, commit nothing
-            shutil.rmtree(
-                os.path.join(table.root, _DATA, f"delta-{new_version:09d}"),
-                ignore_errors=True,
-            )
+            for fl in new_files.values():
+                if fl:
+                    shutil.rmtree(
+                        os.path.join(
+                            table.root,
+                            os.path.dirname(os.path.dirname(fl[0]["path"])),
+                        ),
+                        ignore_errors=True,
+                    )
+                    break
             return result
         result.rewritten_buckets = sorted(int(b) for b in new_files)
         summary = {

@@ -7,7 +7,7 @@ On-disk layout::
         v000000001.json     one snapshot per committed version
         v000000002.json
       data/
-        delta-000000001/pb=<bucket>/part-*.parquet
+        delta-000000001-<rand>/pb=<bucket>/part-*.parquet
 
 A snapshot JSON is the full table state (schema history, per-bucket
 file lists, summary properties).  Commit = write a temp file + hard
@@ -148,7 +148,14 @@ class Snapshot:
 
 
 class CommitConflict(Exception):
-    """Another writer committed this version first — retry on latest."""
+    """Another writer committed this version first and the commits do
+    not commute — the caller must recompute from the latest snapshot.
+
+    Commits that DO commute (MoR file additions vs a concurrent
+    compaction; bucket writes on disjoint bucket sets) are rebased and
+    retried automatically by ``commit_file_additions`` /
+    ``commit_bucket_replacement`` — one ingest applier plus a
+    background ``compact()`` maintenance job must not abort epochs."""
 
 
 class LakeTable:
@@ -383,8 +390,14 @@ class LakeTable:
         only *changed* rows for their bucket, and readers must
         reconcile latest-per-key across the bucket's files (see
         :meth:`read`).  Base / compacted files leave it unset.
+
+        The directory name carries a random suffix so two writers
+        racing toward the same target version (ingest epoch vs
+        background compaction — see :meth:`_rebase_base`) never
+        collide on disk; losers either rebase their commit or leave an
+        unreferenced dir for ``expire_snapshots`` to sweep.
         """
-        delta = f"delta-{version:09d}"
+        delta = f"delta-{version:09d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, _DATA, delta)
         (
             df.withColumn(_PART_DIR_COL, F.col(_BUCKET_COL))
@@ -451,10 +464,16 @@ class LakeTable:
             if n_null:
                 import shutil
 
-                shutil.rmtree(
-                    os.path.join(self.root, _DATA, f"delta-{new_version:09d}"),
-                    ignore_errors=True,
-                )
+                for fl in new_files.values():
+                    if fl:
+                        shutil.rmtree(
+                            os.path.join(
+                                self.root,
+                                os.path.dirname(os.path.dirname(fl[0]["path"])),
+                            ),
+                            ignore_errors=True,
+                        )
+                        break
                 raise ValueError(
                     f"append: {n_null} row(s) have null order column(s) "
                     f"{snap.order_columns} — such rows are invisible to "
@@ -503,6 +522,89 @@ class LakeTable:
             snap, new_version, new_files, touched_buckets, summary, epoch_id
         )
 
+    # ------------------------------------------- optimistic concurrency
+
+    def _rebase_base(
+        self,
+        base: Snapshot,
+        touched: set[str],
+        epoch_id: str | None,
+    ) -> Snapshot:
+        """Validate that every commit between ``base`` and the current
+        latest snapshot commutes with a pending write to ``touched``
+        buckets, and return the latest snapshot as the new commit base.
+
+        Commutes:
+        - ``compact`` snapshots (any buckets): compaction preserves the
+          logical row state, so both MoR additions (their rows stay
+          strictly newer per key) and bucket replacements (computed
+          from the same logical state they overwrite) land identically
+          before or after it;
+        - any other commit whose changed buckets are disjoint from
+          ``touched`` (its rows cannot affect our classification).
+
+        Refuses (raises :class:`CommitConflict`):
+        - layout/schema drift (rebucket, add/rename/widen column) —
+          the pending files were written under the old layout;
+        - a concurrent commit to an overlapping bucket — our
+          classification may be stale;
+        - the same ``epoch_id`` concurrently applied (exactly-once);
+        - a broken chain (intervening snapshot expired).
+        """
+        latest = self.snapshot()
+        chain: list[Snapshot] = []
+        v = latest
+        while v.version != base.version:
+            if v.parent is None or v.parent < base.version:
+                raise CommitConflict(
+                    f"cannot rebase: v{base.version} is not an ancestor of "
+                    f"v{latest.version} at {self.root}"
+                )
+            chain.append(v)
+            try:
+                v = self.snapshot(v.parent)
+            except FileNotFoundError:
+                raise CommitConflict(
+                    f"cannot rebase: intervening snapshot v{v.parent} "
+                    f"expired at {self.root}"
+                ) from None
+        chain.reverse()
+        parent = base
+        for s in chain:
+            if (
+                s.n_buckets != base.n_buckets
+                or s.current_schema != base.current_schema
+                or s.key_columns != base.key_columns
+                or s.order_columns != base.order_columns
+            ):
+                raise CommitConflict(
+                    f"cannot rebase over layout/schema change in v{s.version} "
+                    f"({s.summary.get('operation')}) at {self.root}"
+                )
+            if (
+                epoch_id is not None
+                and epoch_id in s.applied_epochs
+                and epoch_id not in base.applied_epochs
+            ):
+                raise CommitConflict(
+                    f"epoch {epoch_id} was concurrently applied in "
+                    f"v{s.version} at {self.root}"
+                )
+            if str(s.summary.get("operation", "")) != "compact":
+                changed = {
+                    b
+                    for b in set(parent.files) | set(s.files)
+                    if parent.files.get(b) != s.files.get(b)
+                }
+                overlap = changed & touched
+                if overlap:
+                    raise CommitConflict(
+                        f"concurrent commit v{s.version} touched overlapping "
+                        f"buckets {sorted(overlap)[:8]} at {self.root}"
+                    )
+            parent = s
+        return latest
+
     def commit_bucket_replacement(
         self,
         snap: Snapshot,
@@ -511,33 +613,48 @@ class LakeTable:
         touched_buckets: list[int],
         summary: dict[str, Any] | None = None,
         epoch_id: str | None = None,
+        max_retries: int = 5,
     ) -> Snapshot:
         """Commit already-written delta files as a bucket replacement —
         the write/commit split lets MERGE compute its statistics on the
         same job that writes the files (Observation) and still record
-        them in the snapshot summary."""
+        them in the snapshot summary.
+
+        On a lost commit race the write is rebased onto the latest
+        snapshot and retried when the intervening commits commute
+        (see :meth:`_rebase_base`); otherwise :class:`CommitConflict`
+        propagates and the caller must recompute."""
         touched = {str(b) for b in touched_buckets}
-        files = {b: list(fl) for b, fl in snap.files.items() if b not in touched}
-        for b, fl in new_files.items():
-            files[b] = fl
-        applied = list(snap.applied_epochs)
-        if epoch_id is not None:
-            applied.append(epoch_id)
-        out = Snapshot(
-            version=new_version,
-            parent=snap.version,
-            schema_versions=snap.schema_versions,
-            current_schema=snap.current_schema,
-            n_buckets=snap.n_buckets,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
-            files=files,
-            summary={"operation": "merge", **(summary or {})},
-            applied_epochs=applied,
-            soft_delete=snap.soft_delete,
+        base, version = snap, new_version
+        for _ in range(max_retries + 1):
+            files = {b: list(fl) for b, fl in base.files.items() if b not in touched}
+            for b, fl in new_files.items():
+                files[b] = fl
+            applied = list(base.applied_epochs)
+            if epoch_id is not None:
+                applied.append(epoch_id)
+            out = Snapshot(
+                version=version,
+                parent=base.version,
+                schema_versions=base.schema_versions,
+                current_schema=base.current_schema,
+                n_buckets=base.n_buckets,
+                key_columns=base.key_columns,
+                order_columns=base.order_columns,
+                files=files,
+                summary={"operation": "merge", **(summary or {})},
+                applied_epochs=applied,
+                soft_delete=base.soft_delete,
+            )
+            try:
+                self._commit(out)
+                return out
+            except CommitConflict:
+                base = self._rebase_base(snap, touched, epoch_id)
+                version = base.version + 1
+        raise CommitConflict(
+            f"gave up after {max_retries} rebase retries at {self.root}"
         )
-        self._commit(out)
-        return out
 
     def commit_file_additions(
         self,
@@ -546,33 +663,48 @@ class LakeTable:
         new_files: dict[str, list[dict[str, Any]]],
         summary: dict[str, Any] | None = None,
         epoch_id: str | None = None,
+        max_retries: int = 5,
     ) -> Snapshot:
         """Commit already-written delta files as *additions* to their
         buckets (no existing file is dropped) — the commit half of the
         merge-on-read MERGE.  ``new_files`` may be empty: that commits
         a pure epoch-id marker (a fully no-op epoch still records its
-        exactly-once token)."""
-        files = {b: list(fl) for b, fl in snap.files.items()}
-        for b, fl in new_files.items():
-            files.setdefault(b, []).extend(fl)
-        applied = list(snap.applied_epochs)
-        if epoch_id is not None:
-            applied.append(epoch_id)
-        out = Snapshot(
-            version=new_version,
-            parent=snap.version,
-            schema_versions=snap.schema_versions,
-            current_schema=snap.current_schema,
-            n_buckets=snap.n_buckets,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
-            files=files,
-            summary={"operation": "merge-mor", **(summary or {})},
-            applied_epochs=applied,
-            soft_delete=snap.soft_delete,
+        exactly-once token).
+
+        Lost commit races are rebased and retried when the intervening
+        commits commute (see :meth:`_rebase_base`) — in particular an
+        ingest epoch landing while a background ``compact()`` runs
+        never aborts."""
+        base, version = snap, new_version
+        for _ in range(max_retries + 1):
+            files = {b: list(fl) for b, fl in base.files.items()}
+            for b, fl in new_files.items():
+                files.setdefault(b, []).extend(fl)
+            applied = list(base.applied_epochs)
+            if epoch_id is not None:
+                applied.append(epoch_id)
+            out = Snapshot(
+                version=version,
+                parent=base.version,
+                schema_versions=base.schema_versions,
+                current_schema=base.current_schema,
+                n_buckets=base.n_buckets,
+                key_columns=base.key_columns,
+                order_columns=base.order_columns,
+                files=files,
+                summary={"operation": "merge-mor", **(summary or {})},
+                applied_epochs=applied,
+                soft_delete=base.soft_delete,
+            )
+            try:
+                self._commit(out)
+                return out
+            except CommitConflict:
+                base = self._rebase_base(snap, set(new_files), epoch_id)
+                version = base.version + 1
+        raise CommitConflict(
+            f"gave up after {max_retries} rebase retries at {self.root}"
         )
-        self._commit(out)
-        return out
 
     # --------------------------------------------------- schema evolution
 
