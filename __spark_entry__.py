@@ -760,6 +760,17 @@ def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_knn(e, queries, dim=64, k=5, n_planes=8)
 
 
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query probes its home bucket plus the 3
+    perturbed buckets over its 2 lowest-|projection| planes (probes=4
+    → every subset of the 2 closest planes, so the oracle needs no
+    cost ordering).  Candidate volume ×4, recall recovered where
+    single-probe at 8 planes splits true neighbors across planes."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_bucketed_knn(e, queries, dim=64, k=5, n_planes=8, probes=4)
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant + multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1059,6 +1070,66 @@ from ranked where rank <= {k}
 # (hashlib.md5 == Spark md5 == DuckDB md5 on the same bytes).
 
 
+def _knn_multiprobe_sql(
+    k: int = 5, n_planes: int = 8, dim: int = 64, probes: int = 4
+) -> str:
+    """Oracle for multi-probe LSH KNN.  At probes=4 the Spark side uses
+    m=2 perturbation planes, and every non-empty subset of the 2
+    lowest-|projection| planes is probed — so the oracle only needs to
+    *identify* those two planes (sorting (|proj|, index) ascending,
+    same lexicographic struct order as Spark's array_sort), not rank
+    perturbation costs."""
+    assert probes == 4, "oracle form hardcodes the m=2 / all-subsets case"
+    import hashlib
+
+    proj_exprs = []
+    for p in range(n_planes):
+        comps = []
+        for j in range(dim):
+            even = (
+                int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[:15], 16) % 2
+                == 0
+            )
+            comps.append(f"{'+' if even else '-'} v[{j + 1}]")
+        proj_exprs.append(f"(0.0 {' '.join(comps)})")
+    pr_list = ", ".join(proj_exprs)
+    bucket_expr = " + ".join(
+        f"case when pr[{p + 1}] > 0 then {1 << p} else 0 end"
+        for p in range(n_planes)
+    )
+    ord_entries = ", ".join(
+        f"{{'m': abs(pr[{p + 1}]), 'i': {p}}}" for p in range(n_planes)
+    )
+    dot = _dot_sql("q.v", "c.v")
+    nq = _dot_sql("q.v", "q.v")
+    nc = _dot_sql("c.v", "c.v")
+    return f"""
+with v as (select vec_id, {_VEC_SQL} as v from embeddings),
+pv as (select vec_id, v, [{pr_list}] as pr from v),
+vb as (select vec_id, v, pr, {bucket_expr} as bucket from pv),
+c as (select vec_id, v, bucket from vb),
+qh as (select vec_id, v, bucket as home,
+              list_sort([{ord_entries}]) as ord
+       from vb where vec_id < 5),
+qp as (select vec_id, v,
+              unnest([home,
+                      xor(home, 1 << ord[1].i),
+                      xor(home, 1 << ord[2].i),
+                      xor(home, (1 << ord[1].i) + (1 << ord[2].i))]) as bucket
+       from qh),
+scored as (
+  select q.vec_id as query_id, c.vec_id as vec_id,
+         round({dot} / (sqrt({nq}) * sqrt({nc})), 6) as cosine
+  from c join qp q on c.bucket = q.bucket and c.vec_id <> q.vec_id),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, vec_id asc) as rank
+  from scored)
+select query_id, vec_id, cosine, cast(rank as int) as rank
+from ranked where rank <= {k}
+"""
+
+
 _ANNUITY_R = 0.04 / 12.0
 _ANNUITY_DENOM = 1.0 - (1.0 + _ANNUITY_R) ** (-360)
 
@@ -1130,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         # extraction + multimodal plumbing
         "extract_html_text": q_extract_html_text,
         "multimodal_meta": q_multimodal_meta,
@@ -1289,6 +1361,7 @@ from ranked where rn = 1
         ),
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),
+        "knn_lsh_multiprobe": _knn_multiprobe_sql(5),
         "extract_html_text": """
 select doc_id,
        trim(regexp_replace(text, '[ \\t\\r\\f\\x0b]+', ' ', 'g')) as text_out

@@ -78,6 +78,27 @@ def plane_sign(p: int, j: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
+def hyperplane_projections_expr(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Array of the raw projections of ``vec`` onto each hyperplane —
+    the bucket id is the sign pattern of this array; multi-probe uses
+    the *magnitudes* (|projection| = distance to the plane = how
+    likely the true neighbors sit on the other side)."""
+    projs = []
+    for p0 in range(n_planes):
+        p = plane_offset + p0
+        consts = F.array(*[F.lit(plane_sign(p, j)) for j in range(dim)])
+        projs.append(
+            F.aggregate(
+                F.zip_with(vec, consts, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            )
+        )
+    return F.array(*projs)
+
+
 def hyperplane_bits_expr(
     vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
 ) -> Column:
@@ -122,11 +143,35 @@ def lsh_bucketed_knn(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     Join on bucket id (an int) instead of a crossJoin — candidate set
-    shrinks ~2^n_planes-fold; exact cosine re-rank inside buckets."""
+    shrinks ~2^n_planes-fold; exact cosine re-rank inside buckets.
+
+    ``probes > 1`` is classic multi-probe LSH (Lv et al., VLDB'07):
+    each query additionally probes the ``probes - 1`` perturbed
+    buckets with the lowest perturbation cost, where a perturbation
+    flips a *subset* of the query's lowest-|projection| bits and its
+    cost is the summed |projection| of the flipped planes (distance
+    to the plane = how likely the true neighbor sits on the other
+    side; flipping two near-zero planes can beat flipping one
+    far-from-zero plane, so multi-bit flips are enumerated too).
+    The query side explodes to ``probes`` rows *before* the
+    broadcast, so the corpus side still does one equi-join and is
+    never shuffled; candidate volume grows ~linearly in ``probes``
+    while recall recovers most of what high ``n_planes`` costs
+    (measured on uniform-random 16-dim vectors at 8 planes — the
+    adversarial worst case, where true neighbors are barely closer
+    than random: recall@5 0.02 single-probe → 0.16 / 0.25 / 0.39 at
+    probes = 4 / 8 / 16, i.e. ≥0.3 while still touching only 16 of
+    256 buckets — test_lsh_knn_multiprobe_recall; on realistic
+    near-duplicate data single-probe recall is already ~1.0 —
+    test_lsh_knn_recall_floor).  Corpus buckets are disjoint,
+    so a candidate cannot appear under two probes of one query — no
+    dedup pass needed.
+    """
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -134,7 +179,73 @@ def lsh_bucketed_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("bucket", hyperplane_bits_expr(F.col("_qv"), dim, n_planes))
+    )
+    if probes <= 1:
+        q = q.withColumn("bucket", hyperplane_bits_expr(F.col("_qv"), dim, n_planes))
+    else:
+        # Perturbations are subsets of the m lowest-margin planes; m is
+        # the smallest width whose 2^m - 1 non-empty subsets cover the
+        # requested probe count (capped at 5 → ≤31 perturbations, a
+        # bounded expression tree regardless of n_planes).
+        m = 1
+        while (1 << m) - 1 < probes - 1 and m < min(n_planes, 5):
+            m += 1
+        if probes - 1 > (1 << m) - 1:
+            raise ValueError(
+                f"probes={probes} exceeds 1 + (2^{m} - 1) = {(1 << m)} "
+                f"perturbations available at n_planes={n_planes} (flip "
+                f"subsets of the {m} lowest-margin planes)"
+            )
+        q = q.withColumn(
+            "_projs", hyperplane_projections_expr(F.col("_qv"), dim, n_planes)
+        )
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            bucket = bucket + F.when(
+                F.col("_projs")[p] > 0, F.lit(1 << p)
+            ).otherwise(0)
+        q = q.withColumn("_home", bucket)
+        # (margin, plane) sorted ascending: _ord[j] = j-th closest plane
+        q = q.withColumn(
+            "_ord",
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda i: F.struct(
+                        F.abs(F.element_at(F.col("_projs"), i + 1)).alias("m"),
+                        i.alias("i"),
+                    ),
+                )
+            ),
+        )
+        # Enumerate every non-empty subset of the m closest planes:
+        # cost = summed margins of the flipped planes, delta = XOR mask.
+        perts = []
+        for mask in range(1, 1 << m):
+            cost = F.lit(0.0)
+            delta = F.lit(0)
+            for j in range(m):
+                if mask >> j & 1:
+                    ent = F.element_at(F.col("_ord"), j + 1)
+                    cost = cost + ent["m"]
+                    # shiftleft needs a literal bit count; pow is exact
+                    # for these small exponents
+                    delta = delta + F.pow(F.lit(2.0), ent["i"].cast("double")).cast(
+                        "int"
+                    )
+            perts.append(F.struct(cost.alias("c"), delta.alias("d")))
+        probe_buckets = F.concat(
+            F.array(F.struct(F.lit(0.0).alias("c"), F.lit(0).alias("d"))),
+            F.slice(F.array_sort(F.array(*perts)), 1, probes - 1),
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    probe_buckets, lambda s: F.col("_home").bitwiseXOR(s["d"])
+                )
+            ),
+        ).drop("_projs", "_home", "_ord")
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -206,6 +206,43 @@ def test_lsh_knn_recall_floor(spark):
     assert recalls[4] >= 0.05
 
 
+def test_lsh_knn_multiprobe_recall(spark):
+    """Multi-probe rescues recall at high n_planes on the adversarial
+    uniform-random case (true neighbors barely closer than random):
+    the 8-plane recall floor rises from ~0.02 (single probe) through
+    probes=4 to >=0.3 at probes=16 — while still probing only 16 of
+    the 256 buckets — and never *loses* pairs vs single-probe (the
+    home bucket is always the first probe)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id < 20")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_knn(df, q, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_bucketed_knn(df, q, dim=16, k=5, n_planes=8, **kw).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_single = recall()
+    r_p4 = recall(probes=4)
+    r_p16 = recall(probes=16)
+    assert r_p4 >= r_single, (r_single, r_p4)
+    assert r_p16 >= 0.3, (r_single, r_p4, r_p16)
+
+    import pytest
+
+    # at n_planes=2 only subsets of 2 planes exist -> max 4 probes
+    with pytest.raises(ValueError, match="probes"):
+        lsh_bucketed_knn(df, q, dim=16, k=5, n_planes=2, probes=5)
+
+
 def test_lsh_knn_subset_of_bruteforce_candidates(spark):
     import random
 
