@@ -195,8 +195,13 @@ class CdcApplier:
             # see cdc.admission for the gate's rationale (broadcast
             # iff the winner set surely fits; gate on keys, not
             # events).
-            n_in, _est_keys, bcast = admission_stats(batch, snap.key_columns)
+            n_in, est_keys, bcast = admission_stats(batch, snap.key_columns)
             conflate_kwargs["broadcast_winners"] = bcast
+            if not bcast:
+                # over-cap winner set: Bloom-prefilter the payload side
+                # before the shuffled semi join (operators.bloom); the
+                # HLL estimate sizes the filter
+                conflate_kwargs["bloom_expected_keys"] = est_keys
         else:
             obs = Observation(f"epoch-{epoch_id}")
             batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))

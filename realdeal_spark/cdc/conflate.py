@@ -46,6 +46,7 @@ def conflate(
     strategy: str = "max_by",
     salt_buckets: int | None = None,
     broadcast_winners: bool = True,
+    bloom_expected_keys: int | None = None,
 ) -> DataFrame:
     """One row per key: the max-order-tuple winner.
 
@@ -60,9 +61,12 @@ def conflate(
     ``broadcast_winners`` the semi join broadcasts the winner list so
     the payload side is not shuffled at all (valid while winners-per-
     epoch fit the broadcast budget — bounded by the per-trigger
-    admission budget, SURVEY ST4; beyond that, drop the broadcast and
-    the semi join shuffles winner rows only, still payload-light on
-    the build side, or switch to a Bloom-filter pushdown).
+    admission budget, SURVEY ST4).  Beyond the cap the appliers drop
+    the broadcast AND pass ``bloom_expected_keys`` (the admission
+    pass's HLL estimate): the payload side is prefiltered by a
+    distributed Bloom filter over the winner tuples
+    (operators.bloom) so only winners + ~1.4% false positives enter
+    the semi-join shuffle instead of every event row.
 
     ``light`` preconditions (both guaranteed by a binlog/WAL source,
     and required — silent divergence from max_by otherwise):
@@ -96,6 +100,20 @@ def conflate(
         )
         if broadcast_winners:
             winners = F.broadcast(winners)
+        elif bloom_expected_keys is not None:
+            # over-cap winner set: the semi join below must shuffle —
+            # prefilter the payload side with a Bloom filter over the
+            # winner (key, order) tuples so only winners (+ ~1.4% false
+            # positives) enter that shuffle instead of every event row.
+            # winners is materialized so the bloom build, the k probe
+            # broadcasts, and the semi join share one execution of the
+            # (narrow) winner-find plan.
+            from realdeal_spark.operators.bloom import bloom_prefilter
+
+            winners = winners.localCheckpoint(eager=True)
+            df = bloom_prefilter(
+                df, winners, key_columns + order_columns, bloom_expected_keys
+            )
         return df.join(winners, on=key_columns + order_columns, how="left_semi")
 
     if strategy == "max_by":

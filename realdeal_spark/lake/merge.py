@@ -476,10 +476,20 @@ def _merge_apply_mor(
             new_files: dict = {}
         else:
             wk = winner_keys
+            routed = src
             if n_winners <= BROADCAST_KEYS_MAX:
                 wk = F.broadcast(wk)
+            else:
+                # over-cap winner set: the routing semi join must
+                # shuffle the payload — Bloom-prefilter src so only
+                # winner rows (+ ~1.4% fp) enter it.  winner_keys is
+                # already localCheckpointed, so the bloom build and the
+                # semi join share one materialization.
+                from realdeal_spark.operators.bloom import bloom_prefilter
+
+                routed = bloom_prefilter(src, wk, key_cols, n_winners)
             winners = (
-                src.join(wk, on=key_cols, how="left_semi")
+                routed.join(wk, on=key_cols, how="left_semi")
                 .select(
                     *data_cols,
                     F.col(_BUCKET_COL),

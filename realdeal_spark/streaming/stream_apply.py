@@ -97,6 +97,10 @@ class StreamingCdcApplier:
         if strategy == "light":
             n_in, est_keys, bcast = admission_stats(batch_df, snap.key_columns)
             conflate_kwargs["broadcast_winners"] = bcast
+            if not bcast:
+                # same Bloom pushdown as CdcApplier: shuffle only
+                # probable winners, not the whole micro-batch payload
+                conflate_kwargs["bloom_expected_keys"] = est_keys
             self.last_admission = (n_in, est_keys, bcast)
         else:
             obs = Observation(f"stream-{epoch_id}")
