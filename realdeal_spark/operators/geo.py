@@ -78,14 +78,25 @@ def point_in_polygon_join(
     poly_id_col: str = "poly_id",
     xs_col: str = "xs",
     ys_col: str = "ys",
+    cell_deg: float = 1.0,
 ) -> DataFrame:
     """Points → containing polygon id (J6), exact.
 
-    Plan shape: broadcast the polygon table (small side: polygons per
-    deployment are thousands, points are billions), bounding-box
-    pre-filter as a pure column predicate (prunes most candidates
-    JVM-side), then the exact ray-cast as an Arrow-batched pandas UDF
-    on the survivors only.
+    Plan shape: polygons (small side: thousands per deployment,
+    points are billions) are exploded to the grid cells covering
+    their bounding box, broadcast, and **equi-joined** on the point's
+    cell id — a BroadcastHashJoin, so each point is tested only
+    against polygons whose bbox overlaps its cell instead of every
+    polygon (the bbox-θ-join alternative is a
+    BroadcastNestedLoopJoin: ~1000× more candidate pairs at 1000s of
+    polygons).  The bbox predicate then prunes within-cell
+    candidates JVM-side, and the exact even-odd ray cast runs as an
+    Arrow-batched pandas UDF on the survivors only.
+
+    ``cell_deg`` trades broadcast size for candidate selectivity:
+    each polygon produces ``O((bbox/cell_deg)²)`` cell rows; pick it
+    near the typical polygon bbox edge so most polygons cover O(1)
+    cells and most cells hold O(1) polygons.
     """
     polys = polygons.select(
         poly_id_col,
@@ -95,6 +106,30 @@ def point_in_polygon_join(
         F.array_max(xs_col).alias("_xmax"),
         F.array_min(ys_col).alias("_ymin"),
         F.array_max(ys_col).alias("_ymax"),
+    )
+    # explode each polygon to its covering cells; a point joins via its
+    # single cell, so every (point, polygon) pair matches at most once
+    cells = (
+        polys.withColumn(
+            "_cla",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_ymin") / F.lit(cell_deg)).cast("long"),
+                    F.floor(F.col("_ymax") / F.lit(cell_deg)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_clo",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_xmin") / F.lit(cell_deg)).cast("long"),
+                    F.floor(F.col("_xmax") / F.lit(cell_deg)).cast("long"),
+                )
+            ),
+        )
+        .withColumn("_cell", F.col("_cla") * 100000 + F.col("_clo"))
+        .drop("_cla", "_clo")
     )
 
     @pandas_udf(BooleanType())
@@ -109,17 +144,16 @@ def point_in_polygon_join(
                 ]
             )
 
-    cand = points.join(
-        F.broadcast(polys),
-        on=(
-            (F.col(lon_col) >= F.col("_xmin"))
-            & (F.col(lon_col) <= F.col("_xmax"))
-            & (F.col(lat_col) >= F.col("_ymin"))
-            & (F.col(lat_col) <= F.col("_ymax"))
-        ),
-        how="inner",
+    keyed = points.withColumn(
+        "_cell", grid_cell_expr(F.col(lat_col), F.col(lon_col), cell_deg)
+    )
+    cand = keyed.join(F.broadcast(cells), on="_cell", how="inner").where(
+        (F.col(lon_col) >= F.col("_xmin"))
+        & (F.col(lon_col) <= F.col("_xmax"))
+        & (F.col(lat_col) >= F.col("_ymin"))
+        & (F.col(lat_col) <= F.col("_ymax"))
     )
     return (
         cand.where(contains(F.col(lon_col), F.col(lat_col), F.col("_xs"), F.col("_ys")))
-        .drop("_xs", "_ys", "_xmin", "_xmax", "_ymin", "_ymax")
+        .drop("_cell", "_xs", "_ys", "_xmin", "_xmax", "_ymin", "_ymax")
     )

@@ -50,6 +50,42 @@ def test_point_in_polygon_join(spark):
     assert got == {(1, "sq"), (4, "sq"), (2, "tri")}
 
 
+def test_point_in_polygon_plan_is_cell_equi_join(spark):
+    """The candidate join must be a BroadcastHashJoin on the grid
+    cell id, not a BroadcastNestedLoopJoin over every polygon bbox
+    (VERDICT r2 'What's wrong' #5)."""
+    points = spark.createDataFrame(
+        [(1, 0.5, 0.5)], "id bigint, lon double, lat double"
+    )
+    polys = spark.createDataFrame(
+        [("sq", [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])],
+        "poly_id string, xs array<double>, ys array<double>",
+    )
+    out = point_in_polygon_join(points, polys, lat_col="lat", lon_col="lon")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_point_in_polygon_cell_spanning(spark):
+    """Polygons spanning multiple cells (and negative coords) still
+    match points in every covered cell exactly once."""
+    points = spark.createDataFrame(
+        [(1, 0.2, 0.2), (2, 2.7, 1.9), (3, -1.5, -0.5), (4, 5.0, 5.0)],
+        "id bigint, lon double, lat double",
+    )
+    # big rect spans cells (-2..3)×(-1..2) at cell_deg=1
+    polys = spark.createDataFrame(
+        [("big", [-2.0, 3.0, 3.0, -2.0], [-1.0, -1.0, 2.0, 2.0])],
+        "poly_id string, xs array<double>, ys array<double>",
+    )
+    out = point_in_polygon_join(
+        points, polys, lat_col="lat", lon_col="lon"
+    ).select("id", "poly_id")
+    got = sorted((r["id"], r["poly_id"]) for r in out.collect())
+    assert got == [(1, "big"), (2, "big"), (3, "big")]
+
+
 def test_render_html_report(spark):
     df = spark.createDataFrame(
         [(1, "a b", 1234.5, "http://x/1")],
