@@ -598,6 +598,182 @@ where ({' + '.join(terms)}) % 2 = 1
 """
 
 
+def q_polygon_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 CSV boundary-polygon scan, proven by round trip: build a
+    deterministic KML-style ``"x,y x,y x,y"`` coordinate CSV from the
+    nation lattice triangles (coordinates as one-decimal strings via
+    pure integer arithmetic — tenths), write it, re-scan with
+    sources.io.read_polygon_csv (split + transform + string→double
+    cast, all Catalyst), and return the parsed vertices exploded one
+    row per (polygon, vertex).  Oracle computes the same doubles as
+    tenths/10.0 — decimal-string parse and correctly-rounded division
+    agree bit-for-bit.  (Reference: scrape_craigslist_rentals.ipynb
+    cell 0, ``ZipGeoCoder.__init__``.)"""
+    from realdeal_spark.sources.io import read_polygon_csv
+
+    n = _t(spark, sf_dir, "nation")
+    cxt = (F.col("n_nationkey") % 5) * 20 + 10  # center x in tenths
+    cyt = F.expr("n_nationkey div 5") * 20 + 10  # center y in tenths
+
+    def dec(t: F.Column) -> F.Column:  # non-negative tenths → "i.f"
+        return F.concat(
+            (t / 10).cast("bigint").cast("string"),
+            F.lit("."),
+            (t % 10).cast("string"),
+        )
+
+    def pair(xt: F.Column, yt: F.Column) -> F.Column:
+        return F.concat(dec(xt), F.lit(","), dec(yt))
+
+    csv_df = n.select(
+        F.col("n_nationkey").cast("string").alias("poly_id"),
+        F.concat_ws(
+            " ",
+            pair(cxt - 8, cyt - 8),
+            pair(cxt + 8, cyt - 8),
+            pair(cxt, cyt + 9),
+        ).alias("coordinates"),
+    )
+    out = tempfile.mkdtemp(prefix="rds_polycsv_") + "/polys"
+    csv_df.write.mode("overwrite").option("header", "true").csv(out)
+    polys = read_polygon_csv(spark, out)
+    return polys.select(
+        F.col("poly_id").cast("bigint").alias("poly_id"),
+        F.posexplode(F.arrays_zip("xs", "ys")),
+    ).select(
+        "poly_id",
+        F.col("pos").cast("int").alias("idx"),
+        F.col("col.xs").alias("x"),
+        F.col("col.ys").alias("y"),
+    )
+
+
+_POLY_CSV_SQL = """
+with v as (
+  select n_nationkey as poly_id,
+         (n_nationkey % 5) * 20 + 10 as cxt,
+         (n_nationkey // 5) * 20 + 10 as cyt
+  from nation)
+select poly_id, idx, x, y from (
+  select poly_id, 0 as idx, (cxt - 8) / 10.0 as x, (cyt - 8) / 10.0 as y from v
+  union all
+  select poly_id, 1, (cxt + 8) / 10.0, (cyt - 8) / 10.0 from v
+  union all
+  select poly_id, 2, cxt / 10.0, (cyt + 9) / 10.0 from v)
+"""
+
+
+def q_report_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F12 typed-cell report rendering, oracle-checked as a
+    rendered-HTML string: the 10 lowest orders rendered driver-side
+    through report.render_html_table (int grouping, $-currency,
+    link cell, html-escaped string cell), returned as a one-row
+    DataFrame.  The oracle rebuilds the byte-identical HTML in SQL
+    (printf('%.2f') + format('{:,}') grouping = Python's
+    f'{:,.2f}' — both correctly round the same double).
+    (Reference: email_deals.py:48-91 + email_message.py:9-16.)"""
+    from realdeal_spark.report import render_html_table
+
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        o.orderBy("o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.concat(F.lit("x<"), F.col("o_orderstatus"), F.lit(">&")).alias("weird"),
+        )
+    )
+    rows = sorted(
+        (r.asDict() for r in df.collect()), key=lambda r: r["o_orderkey"]
+    )
+    h = render_html_table(
+        rows,
+        ["o_orderkey", "o_totalprice", "o_orderpriority", "weird"],
+        columns={
+            "o_orderkey": "int",
+            "o_totalprice": "dollar",
+            "o_orderpriority": "link",
+        },
+        title="Top orders",
+    )
+    return spark.createDataFrame([(h,)], "html_report string")
+
+
+_REPORT_RENDER_SQL = """
+with t as (
+  select o_orderkey, o_totalprice, o_orderpriority,
+         'x<' || o_orderstatus || '>&' as weird
+  from orders order by o_orderkey limit 10),
+c as (
+  select o_orderkey,
+         '<tr>'
+         || '<td>' || format('{:,}', o_orderkey) || '</td>'
+         || '<td>$' || format('{:,}', cast(split_part(printf('%.2f', o_totalprice), '.', 1) as bigint))
+                    || '.' || split_part(printf('%.2f', o_totalprice), '.', 2) || '</td>'
+         || '<td><a href="' || o_orderpriority || '">' || o_orderpriority || '</a></td>'
+         || '<td>' || replace(replace(replace(weird, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</td>'
+         || '</tr>' as rowhtml
+  from t)
+select '<h2>Top orders</h2>'
+       || '<table border=''1''><tr><th>o_orderkey</th><th>o_totalprice</th><th>o_orderpriority</th><th>weird</th></tr>'
+       || string_agg(rowhtml, '' order by o_orderkey)
+       || '</table>' as html_report
+from c
+"""
+
+
+def q_cdc_epoch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 per-trigger budget admission, oracle-checked: replay the
+    change log in lsn-grid epochs (epoch_size = max_lsn//4 + 1) and
+    return each epoch's admitted window and events_in (rows whose
+    lsn landed in the window, counted by the admission pass itself —
+    not a separate count).  The oracle re-derives the windows and
+    counts by plain SQL grid-windowing over the log —
+    the reference's quota-bounded batch (update_zillow_data.py:23)
+    as a verifiable grid."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_adm_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.run(log, epoch_size=mx // 4 + 1)
+    rows = [
+        (r.lsn_start, r.lsn_end, r.events_in)
+        for r in applier.reports
+        if not r.skipped
+    ]
+    return spark.createDataFrame(
+        rows, "lsn_start bigint, lsn_end bigint, events_in bigint"
+    )
+
+
+_EPOCH_ADMISSION_SQL = """
+with p as (select cast(max(event_id) as bigint) // 4 + 1 as esz from events),
+cells as (
+  select (event_id // esz) as cell, esz,
+         count(*) as events_in
+  from events, p
+  group by 1, 2)
+select cell * esz as lsn_start, cell * esz + esz - 1 as lsn_end, events_in
+from cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data pipeline mandate)
 # ---------------------------------------------------------------------------
@@ -1187,6 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo joins
         "geo_grid_lookup": q_geo_grid_lookup,
         "geo_point_in_polygon": q_geo_point_in_polygon,
+        "polygon_csv_scan": q_polygon_csv_scan,
+        "report_render_html": q_report_render_html,
+        "cdc_epoch_admission": q_cdc_epoch_admission,
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_detect": q_text_lang_detect,
@@ -1313,6 +1492,9 @@ from events
         "sink_roundtrip_json": _SINK_JSON_SQL,
         "geo_grid_lookup": _GEO_GRID_SQL,
         "geo_point_in_polygon": _geo_pip_sql(),
+        "polygon_csv_scan": _POLY_CSV_SQL,
+        "report_render_html": _REPORT_RENDER_SQL,
+        "cdc_epoch_admission": _EPOCH_ADMISSION_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_lang_detect": _lang_detect_sql(),
         "dedup_exact": f"""

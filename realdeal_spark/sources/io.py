@@ -17,6 +17,7 @@ is free: Spark's Hadoop FS layer resolves ``s3a://`` / ``file://`` /
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -46,6 +47,34 @@ def write_json_batch(df: DataFrame, path: str, mode: str = "error") -> None:
     re-expression of the reference's single JSON array (an array
     forces whole-file buffering; lines stream and split)."""
     df.write.mode(mode).json(path)
+
+
+def read_polygon_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV boundary-polygon scan (S15).
+
+    The reference loads zip-code boundary polygons from a CSV whose
+    geometry column is a KML-ish coordinate string
+    (scrape_craigslist_rentals.ipynb cell 0, ``ZipGeoCoder.__init__``:
+    per-row ``"lon,lat lon,lat ..."`` parsed with shapely).  Here the
+    scan is a header CSV with columns ``(poly_id, coordinates)`` and
+    the geometry parse is pure Catalyst — ``split`` + ``transform`` +
+    decimal-string→double cast, JVM-side, no Python in the path —
+    yielding ``(poly_id, xs array<double>, ys array<double>)`` ready
+    for :func:`operators.geo.point_in_polygon_join`.
+    """
+    raw = spark.read.option("header", "true").schema(
+        "poly_id string, coordinates string"
+    ).csv(path)
+    pairs = F.split(F.col("coordinates"), " ")
+    return raw.select(
+        "poly_id",
+        F.transform(
+            pairs, lambda p: F.split(p, ",").getItem(0).cast("double")
+        ).alias("xs"),
+        F.transform(
+            pairs, lambda p: F.split(p, ",").getItem(1).cast("double")
+        ).alias("ys"),
+    )
 
 
 def write_csv(

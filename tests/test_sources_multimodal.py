@@ -42,6 +42,35 @@ def test_json_array_file_scan(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == {7, 8}
 
 
+def test_polygon_csv_scan(spark, tmp_path):
+    """S15: KML-style coordinate strings parse JVM-side into
+    xs/ys double arrays ready for point_in_polygon_join."""
+    from realdeal_spark.sources.io import read_polygon_csv
+
+    p = tmp_path / "polys.csv"
+    p.write_text(
+        "poly_id,coordinates\n"
+        'sq,"0.0,0.0 1.0,0.0 1.0,1.0 0.0,1.0"\n'
+        'tri,"2.0,0.0 3.0,0.0 2.5,1.0"\n'
+    )
+    out = {r["poly_id"]: r for r in read_polygon_csv(spark, str(p)).collect()}
+    assert out["sq"]["xs"] == [0.0, 1.0, 1.0, 0.0]
+    assert out["sq"]["ys"] == [0.0, 0.0, 1.0, 1.0]
+    assert out["tri"]["xs"] == [2.0, 3.0, 2.5]
+    # parsed polygons feed the J6 join directly
+    from realdeal_spark.operators.geo import point_in_polygon_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.5, 0.4)], "id bigint, lon double, lat double"
+    )
+    polys = read_polygon_csv(spark, str(p))
+    got = {
+        (r["id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, polys).select("id", "poly_id").collect()
+    }
+    assert got == {(1, "sq"), (2, "tri")}
+
+
 def test_csv_sink_header_and_field_order(spark, tmp_path):
     p = str(tmp_path / "c")
     write_csv(_df(spark), p, fieldnames=["city", "id"])
