@@ -236,3 +236,60 @@ def test_streaming_mor_drain_matches_replay(spark, tmp_path):
     batch0 = spark.read.schema(EVENT_SCHEMA).parquet(f"{src_dir}/part=0")
     assert applier.apply_batch(batch0, 0) is None
     assert table.current_version() == v
+
+
+def test_streaming_soak_processing_time_catches_up(spark, tmp_path):
+    """ST1 continuous mode: a processingTime trigger tails a growing
+    file source — new waves of event files land while the query runs
+    — and the table catches up to the full naive-replay state, with
+    per-epoch S12 artifacts written by EpochReportSink."""
+    import json
+    import os
+    import time as _time
+
+    from realdeal_spark.report import EpochReportSink
+
+    events = generate_change_events(
+        spark, n_events=900, n_urls=120, seed=21, delete_percent=10, ooo_percent=10
+    )
+    waves = [events.where(F.col("lsn") % 3 == i) for i in range(3)]
+    src_dir = str(tmp_path / "soaklog")
+    waves[0].write.mode("append").parquet(src_dir)
+
+    table = _mk_table(spark, tmp_path, name="pages_soak")
+    report_dir = str(tmp_path / "reports")
+    applier = StreamingCdcApplier(
+        table, name="soak1", report_sink=EpochReportSink(report_dir)
+    )
+    stream = StreamingCdcApplier.file_source(
+        spark, src_dir, EVENT_SCHEMA, max_files_per_trigger=4
+    )
+    q = applier.start(
+        stream,
+        str(tmp_path / "ckpt_soak"),
+        trigger_available_now=False,
+        processingTime="1 seconds",
+    )
+    try:
+        want = _expected(events)
+        # feed the remaining waves while the query runs
+        for w in waves[1:]:
+            w.write.mode("append").parquet(src_dir)
+            _time.sleep(1)
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            if _visible(table) == want:
+                break
+            _time.sleep(2)
+        assert _visible(table) == want, "backlog never caught up"
+    finally:
+        q.stop()
+    applied = [r for r in applier.reports if not r.skipped and r.events_in > 0]
+    assert len(applied) >= 2, "growing source should span multiple micro-batches"
+    # S12 artifacts: one jsonl line + one html page per report
+    lines = open(os.path.join(report_dir, "epochs.jsonl")).read().splitlines()
+    assert len(lines) == len(applier.reports)
+    recs = [json.loads(ln) for ln in lines]
+    assert sum(r["events_in"] for r in recs) == 900
+    htmls = [f for f in os.listdir(report_dir) if f.endswith(".html")]
+    assert len(htmls) == len(applier.reports)
