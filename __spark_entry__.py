@@ -263,6 +263,39 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changes feed (the Iceberg changelog-scan shape):
+    replay epoch 1, snapshot; replay epoch 2; ``read_changes`` between
+    the two snapshots must emit exactly the keys whose state changed,
+    as net upserts/deletes under the final schema — scanning only the
+    files epoch 2 added.  Oracle: winners over the full log minus
+    winners over the epoch-1 prefix, diffed by (key, order)."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_chg_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.apply_epoch(log.where(F.col("event_id") <= mx // 2), 0, mx // 2)
+    v1 = table.current_version()
+    applier.apply_epoch(log.where(F.col("event_id") > mx // 2), mx // 2 + 1, mx)
+    return table.read_changes(v1).select(
+        "user_id", "event_id", "ts", "event_type", "value", "change_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.2 P*, §2.6 O*, §2.7, §2.4 A3/A4)
 # ---------------------------------------------------------------------------
@@ -1345,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_mor": q_cdc_merge_replay_mor,
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
+        "cdc_read_changes": q_cdc_read_changes,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
         "filter_project_inlist": q_filter_project_inlist,
@@ -1416,6 +1450,27 @@ select r.user_id, r.ts, cast(r.event_id as double) as event_id,
        case when r.event_id > mx.m then r.event_type end as etype
 from ranked r, mx
 where r.rn = 1 and r.op <> 'delete'
+""",
+        "cdc_read_changes": f"""
+with mx as (select max(event_id) // 2 as m from events),
+ranked as (
+  select user_id, event_id, ts, event_type, value, {_OP_SQL} as op,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events),
+final as (select * from ranked where rn = 1),
+ranked1 as (
+  select e.user_id, e.event_id, e.ts,
+         row_number() over (partition by e.user_id
+                            order by e.ts desc, e.event_id desc) as rn
+  from events e, mx where e.event_id <= mx.m),
+old as (select user_id, event_id, ts from ranked1 where rn = 1)
+select f.user_id, f.event_id, f.ts, f.event_type, f.value,
+       case when f.op = 'delete' then 'delete' else 'upsert' end as change_type
+from final f
+where not exists (select 1 from old o
+                  where o.user_id = f.user_id
+                    and o.ts = f.ts and o.event_id = f.event_id)
 """,
         "rel_topk_per_key": """
 with ranked as (

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -316,27 +317,7 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         for sv_id, paths in sorted(by_sv.items()):
-            sv = self._schema_version(snap, sv_id)
-            read_schema = sv.struct().add(_BUCKET_COL, T.IntegerType(), True)
-            if snap.soft_delete:
-                read_schema = read_schema.add(_DELETED_COL, T.BooleanType(), True)
-            df = self.spark.read.schema(read_schema).parquet(*paths)
-            sv_by_id = sv.by_id()
-            cols = []
-            for f in cur.fields:
-                fid = f["id"]
-                if fid in sv_by_id:
-                    cols.append(
-                        F.col(sv_by_id[fid]["name"])
-                        .cast(f["type"])
-                        .alias(f["name"])
-                    )
-                else:  # column added after these files were written
-                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-            cols.append(F.col(_BUCKET_COL))
-            if snap.soft_delete:
-                cols.append(F.coalesce(F.col(_DELETED_COL), F.lit(False)).alias(_DELETED_COL))
-            parts.append(df.select(*cols))
+            parts.append(self._read_aligned(snap, cur, sv_id, paths))
 
         if not parts:
             schema = cur.struct().add(_BUCKET_COL, T.IntegerType(), True)
@@ -371,6 +352,170 @@ class LakeTable:
         if not with_bucket:
             out = out.drop(_BUCKET_COL)
         return out
+
+    def _read_aligned(
+        self, snap: Snapshot, cur: _SchemaVersion, sv_id: int, paths: list[str]
+    ) -> DataFrame:
+        """Read one group of files written under schema version
+        ``sv_id`` and align it to the current schema ``cur``: columns
+        matched by field id (rename-safe), cast to current types
+        (widen-safe), added-later columns filled with typed nulls.
+        Shared by :meth:`read` and :meth:`read_changes`."""
+        sv = self._schema_version(snap, sv_id)
+        read_schema = sv.struct().add(_BUCKET_COL, T.IntegerType(), True)
+        if snap.soft_delete:
+            read_schema = read_schema.add(_DELETED_COL, T.BooleanType(), True)
+        df = self.spark.read.schema(read_schema).parquet(*paths)
+        sv_by_id = sv.by_id()
+        cols = []
+        for f in cur.fields:
+            fid = f["id"]
+            if fid in sv_by_id:
+                cols.append(
+                    F.col(sv_by_id[fid]["name"]).cast(f["type"]).alias(f["name"])
+                )
+            else:  # column added after these files were written
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        cols.append(F.col(_BUCKET_COL))
+        if snap.soft_delete:
+            cols.append(
+                F.coalesce(F.col(_DELETED_COL), F.lit(False)).alias(_DELETED_COL)
+            )
+        return df.select(*cols)
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changes feed: the net per-key change between two
+        snapshots, as current-schema columns + ``change_type``
+        (``'upsert'`` | ``'delete'``).
+
+        A CDC engine must *emit* CDC as well as apply it — this is the
+        Iceberg incremental-read shape (changelog scan between two
+        snapshot ids), and it is what lets a downstream consumer (an
+        index builder, a replica, the reference's report stage —
+        generate_report.py reads "what changed" per run) tail this
+        table without rescanning it.
+
+        Semantics: for every key whose latest (order-tuple) row at
+        ``to_version`` differs from its row at ``from_version``, emit
+        that latest row once.  Deletes surface as the tombstone row
+        with ``change_type='delete'`` (soft-delete tables only; on a
+        non-soft-delete table deletes are not representable and the
+        feed is upserts-only).  Intermediate states inside the
+        interval are conflated away — the feed is the *net* change,
+        same contract as conflating the source log over the interval.
+
+        Scale shape (the 100-TB read): only files *added* between the
+        two snapshots are scanned — O(changes + rewrite churn), never
+        O(table).  Carried-over rows from CoW bucket rewrites,
+        compaction, and rebucketing are eliminated payload-light: the
+        newest file generation per (key, order) is chosen via a
+        narrow winner-find, and rows whose (key, order) already
+        existed at ``from_version`` are dropped with a left-anti join
+        against a (key, order) projection of the old snapshot —
+        Catalyst prunes that scan to the key/order columns, so no
+        payload bytes of the old snapshot are read or shuffled.
+
+        Requires ``from_version``'s files to still exist (i.e. not
+        swept by :meth:`expire_snapshots`) — the standard incremental
+        -read constraint.
+        """
+        to_snap = self.snapshot(to_version)
+        from_snap = self.snapshot(from_version)
+        if from_snap.version > to_snap.version:
+            raise ValueError(
+                f"from_version {from_snap.version} is newer than "
+                f"to_version {to_snap.version}"
+            )
+        cur = self._schema_version(to_snap, to_snap.current_schema)
+        keys, orders = to_snap.key_columns, to_snap.order_columns
+
+        old_paths = {fe["path"] for fl in from_snap.files.values() for fe in fl}
+        # group the new files by (commit generation, writer schema):
+        # the generation (parsed from the delta dir the commit wrote)
+        # disambiguates the same (key, order) row carried through
+        # several rewrites inside the interval — newest wins.
+        groups: dict[tuple[int, int], list[str]] = {}
+        for fl in to_snap.files.values():
+            for fe in fl:
+                if fe["path"] in old_paths:
+                    continue
+                m = re.search(r"delta-(\d+)-", fe["path"])
+                gen = int(m.group(1)) if m else 0
+                groups.setdefault((gen, fe["schema_version"]), []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+
+        base = cur.struct().add(_BUCKET_COL, T.IntegerType(), True)
+        if to_snap.soft_delete:
+            base = base.add(_DELETED_COL, T.BooleanType(), True)
+        empty = self.spark.createDataFrame([], base.add("_gen", T.IntegerType(), True))
+        if not groups:
+            out = empty
+        else:
+            parts = [
+                self._read_aligned(to_snap, cur, sv_id, paths).withColumn(
+                    "_gen", F.lit(gen)
+                )
+                for (gen, sv_id), paths in sorted(groups.items())
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+
+        # newest generation per (key, order): drops older carried
+        # copies of the SAME row so the light conflation's unique-
+        # order precondition holds across rewrite generations.
+        # Narrow winner-find + semi join — payload never shuffles.
+        from realdeal_spark.cdc.conflate import conflate
+
+        out = conflate(
+            out, keys + orders, ["_gen"], strategy="light", broadcast_winners=False
+        )
+        # net change per key over the interval
+        out = conflate(
+            out, keys, orders, strategy="light", broadcast_winners=False
+        ).drop("_gen")
+
+        # drop rows unchanged since from_version (rewrite carryover):
+        # (key, order) equality against the old snapshot's files —
+        # aligned through to_snap's schema map (which holds every
+        # historical schema version, so this survives renames/widens
+        # inside the interval), projected to keys/orders only
+        # (Catalyst prunes the payload out of the scan), and WITHOUT
+        # the MoR latest-per-key reconcile: matching any old row —
+        # winner or superseded — proves the new row is a carried
+        # copy, not a change, so the superset is correct and skips
+        # the reconcile shuffle.
+        old_by_sv: dict[int, list[str]] = {}
+        for fl in from_snap.files.values():
+            for fe in fl:
+                old_by_sv.setdefault(fe["schema_version"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+        if old_by_sv:
+            olds = [
+                self._read_aligned(to_snap, cur, sv_id, paths).select(
+                    *keys, *orders
+                )
+                for sv_id, paths in sorted(old_by_sv.items())
+            ]
+            old = olds[0]
+            for p in olds[1:]:
+                old = old.unionByName(p)
+            out = out.join(old, on=keys + orders, how="left_anti")
+
+        if to_snap.soft_delete:
+            out = out.withColumn(
+                "change_type",
+                F.when(F.col(_DELETED_COL), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            ).drop(_DELETED_COL)
+        else:
+            out = out.withColumn("change_type", F.lit("upsert"))
+        return out.drop(_BUCKET_COL)
 
     # ------------------------------------------------------------- write
 

@@ -1,0 +1,186 @@
+"""Incremental changes feed (LakeTable.read_changes): the Iceberg
+changelog-scan shape — net per-key change between two snapshots,
+emitting only files added in the interval, with rewrite/compaction
+carryover eliminated payload-light.
+
+Reference analogue: the report stage consumes "what changed this
+run" (realdeal/generate_report.py reads the batch's new/changed rows)
+— here re-expressed as a snapshot-range incremental read any
+downstream consumer can tail.
+"""
+
+from __future__ import annotations
+
+from realdeal_spark.cdc.apply import CdcApplier
+from realdeal_spark.cdc.events import generate_change_events
+from realdeal_spark.lake.merge import merge_apply
+from realdeal_spark.lake.table import LakeTable
+
+from tests.test_merge_cdc import PAGES_SCHEMA, _events_df, _mk_table
+
+
+def _feed(table, v_from, v_to=None):
+    return {
+        r["url"]: (r["lsn"], r["change_type"])
+        for r in table.read_changes(v_from, v_to).collect()
+    }
+
+
+def test_changes_cow_upsert_and_delete(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    merge_apply(
+        t,
+        _events_df(spark, [(1, "insert", "a", 10, "A1"), (2, "insert", "b", 11, "B1")]),
+    )
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(3, "update", "a", 20, "A2")]))
+    merge_apply(
+        t, _events_df(spark, [(4, "insert", "c", 21, "C1"), (5, "delete", "b", 22, None)])
+    )
+    feed = _feed(t, v1)
+    assert feed == {"a": (3, "upsert"), "b": (5, "delete"), "c": (4, "upsert")}
+    # the upsert row carries the new payload
+    row = {r["url"]: r for r in t.read_changes(v1).collect()}["a"]
+    assert bytes(row["html"]).decode() == "A2"
+
+
+def test_changes_are_net_not_intermediate(spark, tmp_path):
+    """Two updates to the same key inside the interval → ONE feed row,
+    the final state (net conflation, same contract as the log)."""
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]))
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(2, "update", "a", 20, "A2")]))
+    merge_apply(t, _events_df(spark, [(3, "update", "a", 30, "A3")]))
+    feed = t.read_changes(v1).collect()
+    assert len(feed) == 1
+    assert feed[0]["lsn"] == 3 and bytes(feed[0]["html"]).decode() == "A3"
+
+
+def test_changes_empty_interval_and_same_version(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]))
+    v1 = t.current_version()
+    assert t.read_changes(v1, v1).count() == 0
+    assert t.read_changes(v1).count() == 0  # to=None → current == v1
+
+
+def test_changes_compaction_and_rebucket_are_not_changes(spark, tmp_path):
+    """Physical rewrites (compact, rebucket) add files but change no
+    rows — the feed must stay empty across them."""
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(spark, [(i, "insert", f"u{i}", 10 + i, f"B{i}") for i in range(20)]),
+        mode="mor",
+    )
+    merge_apply(t, _events_df(spark, [(100, "update", "u3", 999, "NEW")]), mode="mor")
+    v1 = t.current_version()
+    t.compact(max_files_per_bucket=1)
+    assert t.read_changes(v1).count() == 0
+    v2 = t.current_version()
+    t.rebucket(4)
+    assert t.read_changes(v2).count() == 0
+    # and across BOTH rewrites plus a real change, only the change shows
+    merge_apply(t, _events_df(spark, [(101, "update", "u5", 1000, "N5")]), mode="mor")
+    assert _feed(t, v1) == {"u5": (101, "upsert")}
+
+
+def test_changes_stale_event_is_silent(spark, tmp_path):
+    """An out-of-order event that loses the MERGE produces no feed row."""
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(2, "insert", "a", 100, "NEW")]))
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(3, "update", "a", 50, "OLD")]))  # stale
+    assert t.read_changes(v1).count() == 0
+
+
+def test_changes_mor_with_interleaved_compaction(spark, tmp_path):
+    """MoR deltas + a compaction inside the interval: the carried
+    copies from the compacted generation must not duplicate or
+    resurrect rows (newest-generation winner-find)."""
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(spark, [(1, "insert", "a", 10, "A1"), (2, "insert", "b", 11, "B1")]),
+        mode="mor",
+    )
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(3, "update", "a", 20, "A2")]), mode="mor")
+    t.compact(max_files_per_bucket=1)  # folds a+b; carries b unchanged
+    merge_apply(t, _events_df(spark, [(4, "update", "a", 30, "A3")]), mode="mor")
+    feed = t.read_changes(v1).collect()
+    assert {r["url"]: r["lsn"] for r in feed} == {"a": 4}
+    assert bytes(feed[0]["html"]).decode() == "A3"
+
+
+def test_changes_schema_evolution_inside_interval(spark, tmp_path):
+    """Add/rename inside the interval: feed rows come out under the
+    to-snapshot's current schema; pre-evolution winners carry typed
+    nulls in added columns."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "evo"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary",
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=2,
+        soft_delete=True,
+    )
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]).drop("lang"))
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(2, "update", "a", 20, "A2")]).drop("lang"))
+    t.add_column("lang", "string")
+    t.rename_column("html", "body")
+    src = (
+        _events_df(spark, [(3, "insert", "b", 30, "B1")])
+        .withColumnRenamed("html", "body")
+    )
+    merge_apply(t, src)
+    feed = {r["url"]: r for r in t.read_changes(v1).collect()}
+    assert set(feed) == {"a", "b"}
+    assert bytes(feed["a"]["body"]).decode() == "A2" and feed["a"]["lang"] is None
+    assert bytes(feed["b"]["body"]).decode() == "B1" and feed["b"]["lang"] == "en"
+
+
+def test_changes_full_replay_diff_oracle(spark, tmp_path):
+    """Random replay, epoch split at an arbitrary version: the feed
+    must equal the brute-force diff of the two visible states plus
+    tombstone transitions — for both CoW and MoR appliers."""
+    ev = generate_change_events(
+        spark, n_events=500, n_urls=80, ooo_percent=25, delete_percent=15
+    )
+    for mode, sub in (("cow", "c"), ("mor", "m")):
+        t = LakeTable.create(
+            spark, str(tmp_path / sub), PAGES_SCHEMA, ["url"], ["warc_ts", "lsn"], 4,
+            soft_delete=True,
+        )
+        CdcApplier(t, merge_mode=mode).run(ev, epoch_size=200)
+        versions = t.versions()
+        v_mid = versions[len(versions) // 2]
+        old = {
+            r["url"]: (r["warc_ts"], r["lsn"])
+            for r in t.read(version=v_mid, include_deleted=True).collect()
+        }
+        new = {
+            r["url"]: (r["warc_ts"], r["lsn"], bool(r["_deleted"]))
+            for r in t.read(include_deleted=True).collect()
+        }
+        expected = {
+            u: ("delete" if deleted else "upsert")
+            for u, (ts, lsn, deleted) in new.items()
+            if old.get(u) != (ts, lsn)
+        }
+        got = {r["url"]: r["change_type"] for r in t.read_changes(v_mid).collect()}
+        assert got == expected, mode
+
+
+def test_changes_from_newer_than_to_raises(spark, tmp_path):
+    import pytest
+
+    t = _mk_table(spark, tmp_path)
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]))
+    v = t.current_version()
+    merge_apply(t, _events_df(spark, [(2, "update", "a", 20, "A2")]))
+    with pytest.raises(ValueError, match="newer"):
+        t.read_changes(t.current_version(), v)
