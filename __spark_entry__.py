@@ -296,6 +296,37 @@ def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats data skipping (Iceberg-manifest shape): append the
+    event log in three lsn chunks — each commit records per-file
+    min/max bounds from the parquet footers — then range-read the
+    middle third.  The read plans driver-side against the stored
+    bounds and scans only the overlapping chunk's files (asserted in
+    tests/test_stats_skipping.py); the predicate is also enforced
+    row-level, so the result is exactly the SQL range filter."""
+    ev = _t(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    root = tempfile.mkdtemp(prefix="rds_rng_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/log",
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double",
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    lo, hi = mx // 3, 2 * mx // 3
+    table.append(ev.where(F.col("event_id") < lo))
+    table.append(ev.where(F.col("event_id").between(lo, hi)))
+    table.append(ev.where(F.col("event_id") > hi))
+    return table.read(range_filters={"event_id": (lo, hi)}).select(
+        "user_id", "event_id", "ts", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.2 P*, §2.6 O*, §2.7, §2.4 A3/A4)
 # ---------------------------------------------------------------------------
@@ -1379,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         "cdc_read_changes": q_cdc_read_changes,
+        "lake_range_scan": q_lake_range_scan,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
         "filter_project_inlist": q_filter_project_inlist,
@@ -1471,6 +1503,12 @@ from final f
 where not exists (select 1 from old o
                   where o.user_id = f.user_id
                     and o.ts = f.ts and o.event_id = f.event_id)
+""",
+        "lake_range_scan": """
+with mx as (select max(event_id) as m from events)
+select e.user_id, e.event_id, e.ts, e.event_type, round(e.value, 6) as value
+from events e, mx
+where e.event_id between mx.m // 3 and 2 * mx.m // 3
 """,
         "rel_topk_per_key": """
 with ranked as (

@@ -55,6 +55,97 @@ _WIDEN_CHAINS = [
 ]
 
 
+# file-level min/max stats (the Iceberg-manifest data-skipping lever):
+# collected from parquet footers at commit time for columns of these
+# types only — ordered scalars whose values JSON-roundtrip exactly.
+# Strings are excluded (parquet truncates their stats), binary/arrays
+# are meaningless to range-skip, decimals skipped to avoid scale
+# pitfalls in the JSON metadata.
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "boolean",
+}
+
+
+def _stats_eligible(type_str: str) -> bool:
+    return type_str in _STATS_TYPES or type_str.startswith("timestamp")
+
+
+def _enc_stat(v: Any) -> Any:
+    """Encode a stats bound to a JSON-safe, order-preserving value.
+    Timestamps → epoch microseconds, dates → epoch days, bools → int;
+    numerics pass through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _file_stats(path: str, cols: dict[str, str]) -> dict[str, list] | None:
+    """Per-file [min, max] for the eligible columns, aggregated across
+    the parquet footer's row-group statistics.  Driver-side and cheap:
+    one footer read per file, and commits write one file per touched
+    bucket.  A column missing stats in any row group is dropped
+    entirely (no partial bounds)."""
+    if not cols:
+        return None
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    agg: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in cols or name in dead:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                agg.pop(name, None)
+                continue
+            try:
+                mn, mx = _enc_stat(st.min), _enc_stat(st.max)
+            except Exception:
+                dead.add(name)
+                agg.pop(name, None)
+                continue
+            if name in agg:
+                agg[name][0] = min(agg[name][0], mn)
+                agg[name][1] = max(agg[name][1], mx)
+            else:
+                agg[name] = [mn, mx]
+    return agg or None
+
+
+def _stats_disjoint(entry: dict[str, Any], enc_filters: dict[str, tuple]) -> bool:
+    """True iff the file's recorded bounds prove NO row can satisfy
+    every (lo, hi) range.  Files without stats for a column are never
+    pruned on it — absence of evidence keeps the file."""
+    stats = entry.get("stats")
+    if not stats:
+        return False
+    for col, (lo, hi) in enc_filters.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            return True
+    return False
+
+
 def _can_widen(src: str, dst: str) -> bool:
     for chain in _WIDEN_CHAINS:
         if src in chain and dst in chain and chain.index(src) < chain.index(dst):
@@ -279,6 +370,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_bucket: bool = False,
         include_deleted: bool = False,
+        range_filters: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to buckets.
 
@@ -298,10 +390,32 @@ class LakeTable:
         the tombstone filter, so a winning delete still hides the key.
         ``compact()`` folds deltas into base files and removes this
         read-time cost; base-only reads skip it entirely.
+
+        ``range_filters`` — ``{column: (lo, hi)}``, bounds inclusive,
+        ``None`` = unbounded — filters the result AND skips whole
+        files whose footer-collected min/max bounds (``_file_stats``)
+        prove no row can match: the Iceberg-manifest data-skipping
+        lever, planned driver-side before any scan.  At 100 TB this
+        turns "events with lsn ∈ [a, b]" over an append-only log
+        table into a read of just the epochs that overlap the range.
+        File skipping is only applied in buckets with no MoR deltas:
+        in a MoR bucket, dropping one file generation could change
+        which row the latest-per-key reconcile picks (a filter on a
+        non-order column may prune the true winner's file and
+        resurrect an older row), so those buckets read fully and
+        filter row-level after the reconcile — always-correct, and
+        ``compact()`` restores skippability.
         """
         snap = self.snapshot(version)
         cur = self._schema_version(snap, snap.current_schema)
         want = {str(b) for b in buckets} if buckets is not None else None
+        enc_filters = {
+            c: (
+                _enc_stat(lo) if lo is not None else None,
+                _enc_stat(hi) if hi is not None else None,
+            )
+            for c, (lo, hi) in (range_filters or {}).items()
+        }
 
         # group pruned file list by writer schema version
         by_sv: dict[int, list[str]] = {}
@@ -309,8 +423,15 @@ class LakeTable:
         for b, flist in snap.files.items():
             if want is not None and b not in want:
                 continue
+            bucket_mor = any(bool(fe.get("mor")) for fe in flist)
+            has_mor = has_mor or bucket_mor
             for fe in flist:
-                has_mor = has_mor or bool(fe.get("mor"))
+                if (
+                    enc_filters
+                    and not bucket_mor
+                    and _stats_disjoint(fe, enc_filters)
+                ):
+                    continue
                 by_sv.setdefault(fe["schema_version"], []).append(
                     os.path.join(self.root, fe["path"])
                 )
@@ -349,6 +470,14 @@ class LakeTable:
 
         if snap.soft_delete and not include_deleted:
             out = out.where(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+        # row-level enforcement of the range predicate — file skipping
+        # above is only an accelerator, never the source of truth
+        # (surviving files still hold out-of-range rows).
+        for c, (lo, hi) in (range_filters or {}).items():
+            if lo is not None:
+                out = out.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.where(F.col(c) <= F.lit(hi))
         if not with_bucket:
             out = out.drop(_BUCKET_COL)
         return out
@@ -550,6 +679,12 @@ class LakeTable:
             .mode("error")
             .parquet(out_dir)
         )
+        stat_cols = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if _stats_eligible(f.dataType.simpleString())
+            and f.name not in (_BUCKET_COL, _PART_DIR_COL, _DELETED_COL)
+        }
         files: dict[str, list[dict[str, Any]]] = {}
         for d in sorted(os.listdir(out_dir)):
             if not d.startswith(f"{_PART_DIR_COL}="):
@@ -563,6 +698,9 @@ class LakeTable:
                     }
                     if mor:
                         entry["mor"] = True
+                    stats = _file_stats(os.path.join(out_dir, d, fn), stat_cols)
+                    if stats:
+                        entry["stats"] = stats
                     files.setdefault(b, []).append(entry)
         return files
 
@@ -920,10 +1058,18 @@ class LakeTable:
 
         Append-heavy histories accumulate files per bucket; at scale
         this runs as a background job per bucket-range.  No-op if
-        every bucket is already compact."""
+        every bucket is already compact.
+
+        A bucket whose files are *all within budget but still flagged
+        MoR* is compacted too: a lingering delta flag forces the
+        latest-per-key reconcile on every read and disables stats-
+        based file skipping for the bucket, so folding it to a base
+        file is pure win even at one file."""
         snap = self.snapshot()
         fat = [
-            int(b) for b, fl in snap.files.items() if len(fl) > max_files_per_bucket
+            int(b)
+            for b, fl in snap.files.items()
+            if len(fl) > max_files_per_bucket or any(fe.get("mor") for fe in fl)
         ]
         if not fat:
             return None

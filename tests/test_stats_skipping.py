@@ -1,0 +1,147 @@
+"""File-level min/max stats + data skipping (the Iceberg-manifest
+lever): bounds are collected from parquet footers at commit time,
+stored in the snapshot, and `read(range_filters=...)` both skips
+files whose bounds are disjoint from the range and enforces the
+predicate row-level.  MoR buckets are never file-skipped (pruning a
+generation could flip the latest-per-key reconcile) — they filter
+row-level after the reconcile."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realdeal_spark.lake.merge import merge_apply
+from realdeal_spark.lake.table import LakeTable, _enc_stat, _stats_disjoint
+
+from tests.test_merge_cdc import _events_df, _mk_table, _ts
+
+
+def _mk_log_table(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "log"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary, lang string",
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=n_buckets,
+        soft_delete=False,
+    )
+
+
+def _chunk(spark, lsn_lo, n):
+    return _events_df(
+        spark,
+        [(lsn_lo + i, "insert", f"u{lsn_lo + i}", lsn_lo + i, f"B{i}") for i in range(n)],
+    ).drop("op")
+
+
+def test_stats_recorded_for_eligible_columns_only(spark, tmp_path):
+    t = _mk_log_table(spark, tmp_path)
+    t.append(_chunk(spark, 0, 50))
+    entries = [fe for fl in t.snapshot().files.values() for fe in fl]
+    assert entries
+    for fe in entries:
+        st = fe.get("stats")
+        assert st and set(st) == {"warc_ts", "lsn"}  # no string/binary stats
+        lo, hi = st["lsn"]
+        assert 0 <= lo <= hi <= 49
+        # timestamps encode as epoch micros (JSON-safe ints)
+        assert isinstance(st["warc_ts"][0], int)
+
+
+def test_stats_survive_snapshot_roundtrip(spark, tmp_path):
+    t = _mk_log_table(spark, tmp_path)
+    t.append(_chunk(spark, 0, 10))
+    v = t.current_version()
+    reloaded = LakeTable(spark, t.root).snapshot(v)
+    entries = [fe for fl in reloaded.files.values() for fe in fl]
+    assert all("stats" in fe for fe in entries)
+
+
+def test_range_read_skips_disjoint_files_and_matches(spark, tmp_path):
+    """Three appended epochs with disjoint lsn ranges: a range read
+    over the middle epoch must scan only its files and return exactly
+    the rows a full-scan filter returns."""
+    t = _mk_log_table(spark, tmp_path)
+    t.append(_chunk(spark, 0, 100))
+    t.append(_chunk(spark, 100, 100))
+    t.append(_chunk(spark, 200, 100))
+    total_files = sum(len(fl) for fl in t.snapshot().files.values())
+
+    out = t.read(range_filters={"lsn": (120, 180)})
+    assert len(out.inputFiles()) < total_files  # files genuinely skipped
+    got = sorted(r["lsn"] for r in out.collect())
+    want = sorted(
+        r["lsn"] for r in t.read().where("lsn between 120 and 180").collect()
+    )
+    assert got == want == list(range(120, 181))
+    # half-open bounds
+    assert t.read(range_filters={"lsn": (290, None)}).count() == 10
+    assert t.read(range_filters={"lsn": (None, 9)}).count() == 10
+
+
+def test_range_read_timestamp_bounds(spark, tmp_path):
+    t = _mk_log_table(spark, tmp_path)
+    t.append(_chunk(spark, 0, 100))
+    t.append(_chunk(spark, 100, 100))
+    lo, hi = _ts(50), _ts(149)
+    out = t.read(range_filters={"warc_ts": (lo, hi)})
+    assert out.count() == 100
+    mn, mx = out.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    assert (mn, mx) == (lo, hi)
+
+
+def test_mor_bucket_filters_after_reconcile(spark, tmp_path):
+    """A range filter whose upper bound excludes a key's newest
+    version must drop the key entirely — never resurrect the older
+    row a skipped generation would have exposed."""
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(t, _events_df(spark, [(1, "insert", "a", 10, "A1")]), mode="mor")
+    merge_apply(t, _events_df(spark, [(2, "update", "a", 100, "A2")]), mode="mor")
+    # bound excludes the update (warc_ts=100) but covers the insert
+    out = t.read(range_filters={"warc_ts": (None, _ts(50))})
+    assert out.count() == 0  # winner is out of range; old row must NOT surface
+    # bound covering the winner returns exactly the winner
+    rows = t.read(range_filters={"warc_ts": (_ts(50), None)}).collect()
+    assert [bytes(r["html"]).decode() for r in rows] == ["A2"]
+
+
+def test_stats_disjoint_logic():
+    fe = {"stats": {"lsn": [100, 200]}}
+    assert _stats_disjoint(fe, {"lsn": (201, None)})
+    assert _stats_disjoint(fe, {"lsn": (None, 99)})
+    assert not _stats_disjoint(fe, {"lsn": (150, 160)})
+    assert not _stats_disjoint(fe, {"lsn": (200, 300)})  # touching edge
+    assert not _stats_disjoint(fe, {"other": (0, 1)})  # no stats → keep
+    assert not _stats_disjoint({}, {"lsn": (0, 1)})
+
+
+def test_enc_stat_orders_timestamps():
+    a = _enc_stat(dt.datetime(2024, 1, 1, 0, 0, 5))
+    b = _enc_stat(dt.datetime(2024, 1, 1, 0, 0, 6))
+    assert isinstance(a, int) and a < b
+    assert _enc_stat(dt.date(1970, 1, 2)) == 1
+    assert _enc_stat(True) == 1 and _enc_stat(3.5) == 3.5
+
+
+def test_compact_restores_skippability_after_mor(spark, tmp_path):
+    """MoR deltas disable skipping in their bucket; compaction folds
+    them into base files whose fresh stats make the bucket skippable
+    again."""
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(spark, [(i, "insert", f"u{i}", i, f"B{i}") for i in range(40)]),
+        mode="mor",
+    )
+    merge_apply(t, _events_df(spark, [(100, "update", "u3", 500, "N")]), mode="mor")
+    t.compact(max_files_per_bucket=1)
+    snap = t.snapshot()
+    assert not any(fe.get("mor") for fl in snap.files.values() for fe in fl)
+    assert all(
+        "stats" in fe for fl in snap.files.values() for fe in fl
+    )  # compacted files carry fresh bounds
+    out = t.read(range_filters={"lsn": (100, None)})
+    assert {r["url"] for r in out.collect()} == {"u3"}
