@@ -259,7 +259,20 @@ def merge_apply(
     )
     new_version = snap.version + 1
     try:
-        new_files = table._write_delta(new_rows, new_version, snap.current_schema)
+        # CoW rewrites whole buckets anyway, so keep them in the
+        # table's write sort order (order columns, i.e. event time /
+        # lsn): a task-local sort, no extra shuffle, and every base
+        # file stays row-group-prunable for time-range scans without
+        # waiting for a maintenance compact() (Iceberg write-order
+        # analogue).  The MoR path stays sort-free — its deltas are
+        # O(changes) and file skipping is disabled in MoR buckets
+        # until compaction regardless.
+        new_files = table._write_delta(
+            new_rows,
+            new_version,
+            snap.current_schema,
+            sort_by=list(snap.order_columns or []),
+        )
         m = obs.get
         result = MergeResult(
             snapshot=None,

@@ -649,7 +649,12 @@ class LakeTable:
     # ------------------------------------------------------------- write
 
     def _write_delta(
-        self, df: DataFrame, version: int, schema_version: int, mor: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        schema_version: int,
+        mor: bool = False,
+        sort_by: list[str] | None = None,
     ) -> dict[str, list[dict[str, Any]]]:
         """Write a dataframe (with ``_bucket`` col) as one delta dir.
 
@@ -673,12 +678,17 @@ class LakeTable:
         """
         delta = f"delta-{version:09d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, _DATA, delta)
-        (
-            df.withColumn(_PART_DIR_COL, F.col(_BUCKET_COL))
-            .write.partitionBy(_PART_DIR_COL)
-            .mode("error")
-            .parquet(out_dir)
-        )
+        out = df.withColumn(_PART_DIR_COL, F.col(_BUCKET_COL))
+        if sort_by:
+            # task-local sort with the partition-dir column LEADING:
+            # the dynamic-partition writer requires ordering on
+            # _PART_DIR_COL and would otherwise insert its own
+            # (non-stable, partition-column-only) sort, destroying the
+            # secondary order.  With pb first, the plan's output
+            # ordering already satisfies the writer's requirement and
+            # the (pb, *sort_by) order survives into the files.
+            out = out.sortWithinPartitions(_PART_DIR_COL, *sort_by)
+        out.write.partitionBy(_PART_DIR_COL).mode("error").parquet(out_dir)
         stat_cols = {
             f.name: f.dataType.simpleString()
             for f in df.schema.fields
@@ -789,17 +799,25 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         epoch_id: str | None = None,
         base_snapshot: Snapshot | None = None,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """Commit a new snapshot replacing the files of ``touched_buckets``
         with ``df`` (which must carry ``_bucket``); all other buckets
         keep their existing files untouched.  This is the commit half
-        of MERGE."""
+        of MERGE.
+
+        ``sort_by`` adds a task-local ``sortWithinPartitions`` on
+        ``(_bucket, *sort_by)`` before the write — no extra shuffle
+        (the repartition already clusters by bucket), but the parquet
+        row groups of each output file get tight min/max bounds on the
+        sort columns, so Catalyst's pushed range predicates prune row
+        groups inside the file (the Iceberg write-sort-order lever).
+        """
         snap = base_snapshot or self.snapshot()
         new_version = snap.version + 1
+        out = df.repartition(min(max(len(touched_buckets), 1), 256), _BUCKET_COL)
         new_files = self._write_delta(
-            df.repartition(min(max(len(touched_buckets), 1), 256), _BUCKET_COL),
-            new_version,
-            snap.current_schema,
+            out, new_version, snap.current_schema, sort_by=sort_by
         )
         return self.commit_bucket_replacement(
             snap, new_version, new_files, touched_buckets, summary, epoch_id
@@ -1053,7 +1071,11 @@ class LakeTable:
 
     # ------------------------------------------------------- maintenance
 
-    def compact(self, max_files_per_bucket: int = 1) -> Snapshot | None:
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot | None:
         """Rewrite buckets whose file count exceeds the target.
 
         Append-heavy histories accumulate files per bucket; at scale
@@ -1064,8 +1086,21 @@ class LakeTable:
         MoR* is compacted too: a lingering delta flag forces the
         latest-per-key reconcile on every read and disables stats-
         based file skipping for the bucket, so folding it to a base
-        file is pure win even at one file."""
+        file is pure win even at one file.
+
+        ``sort_by`` — write sort order for the rewritten base files
+        (Iceberg's ``sort_order()`` analogue).  Default ``None`` sorts
+        by the table's order columns (event time / lsn for a CDC
+        table), so compacted files carry monotone row groups and time-
+        range scans prune at row-group granularity via the pushed
+        parquet predicate — in addition to the file-level stats
+        skipping the snapshot manifest already provides.  Pass ``[]``
+        to keep the unsorted rewrite.  Compaction is the right place
+        to pay the sort: it is already a full rewrite of the bucket,
+        and the O(changes) MERGE path stays sort-free."""
         snap = self.snapshot()
+        if sort_by is None:
+            sort_by = list(snap.order_columns or [])
         fat = [
             int(b)
             for b, fl in snap.files.items()
@@ -1075,7 +1110,11 @@ class LakeTable:
             return None
         df = self.read(buckets=fat, with_bucket=True, include_deleted=True)
         return self.replace_buckets(
-            df, fat, summary={"operation": "compact"}, base_snapshot=snap
+            df,
+            fat,
+            summary={"operation": "compact"},
+            base_snapshot=snap,
+            sort_by=sort_by,
         )
 
     def rebucket(self, new_n: int) -> Snapshot:
@@ -1103,7 +1142,14 @@ class LakeTable:
             min(new_n, 256), _BUCKET_COL
         )
         new_version = snap.version + 1
-        new_files = self._write_delta(out, new_version, snap.current_schema)
+        # full rewrite anyway — keep the write sort order (see
+        # compact()) so the new base files stay row-group-prunable
+        new_files = self._write_delta(
+            out,
+            new_version,
+            snap.current_schema,
+            sort_by=list(snap.order_columns or []),
+        )
         committed = Snapshot(
             version=new_version,
             parent=snap.version,

@@ -145,3 +145,105 @@ def test_compact_restores_skippability_after_mor(spark, tmp_path):
     )  # compacted files carry fresh bounds
     out = t.read(range_filters={"lsn": (100, None)})
     assert {r["url"] for r in out.collect()} == {"u3"}
+
+
+def test_compact_writes_sorted_base_files(spark, tmp_path):
+    """compact() defaults to the table's order columns as write sort
+    order: every rewritten base file must hold rows non-decreasing in
+    (warc_ts, lsn), so parquet row-group min/max bounds are monotone
+    and a pushed time-range predicate prunes row groups inside the
+    file (Iceberg write-sort-order analogue)."""
+    import pyarrow.parquet as pq
+
+    t = _mk_log_table(spark, tmp_path, n_buckets=2)
+    # three epochs appended in deliberately shuffled lsn order
+    rows = [(i, "insert", f"u{i}", i, f"B{i}") for i in range(90)]
+    perm = [(i * 37) % 90 for i in range(90)]  # fixed permutation
+    shuffled = [rows[p] for p in perm]
+    for lo in (0, 30, 60):
+        t.append(_events_df(spark, shuffled[lo : lo + 30]).drop("op"))
+    t.compact(max_files_per_bucket=1)
+
+    snap = t.snapshot()
+    import os
+
+    for fl in snap.files.values():
+        for fe in fl:
+            tbl = pq.read_table(
+                os.path.join(t.root, fe["path"]), columns=["warc_ts", "lsn"]
+            )
+            ts = tbl.column("warc_ts").to_pylist()
+            lsn = tbl.column("lsn").to_pylist()
+            keys = list(zip(ts, lsn))
+            assert keys == sorted(keys), f"unsorted base file {fe['path']}"
+    # logical state untouched by the sorted rewrite
+    assert sorted(r["lsn"] for r in t.read().collect()) == list(range(90))
+
+
+def test_compact_sort_opt_out_and_explicit(spark, tmp_path):
+    """sort_by=[] keeps the unsorted rewrite; an explicit column list
+    overrides the order-column default."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = _mk_log_table(spark, tmp_path, n_buckets=1)
+    rows = [(i, "insert", f"u{i}", i, f"B{i}") for i in range(40)]
+    perm = [(i * 13) % 40 for i in range(40)]
+    t.append(_events_df(spark, [rows[p] for p in perm[:20]]).drop("op"))
+    t.append(_events_df(spark, [rows[p] for p in perm[20:]]).drop("op"))
+    t.compact(max_files_per_bucket=1, sort_by=["url"])
+    snap = t.snapshot()
+    fe = next(fe for fl in snap.files.values() for fe in fl)
+    urls = (
+        pq.read_table(os.path.join(t.root, fe["path"]), columns=["url"])
+        .column("url")
+        .to_pylist()
+    )
+    assert urls == sorted(urls)
+
+
+def test_range_predicate_pushed_to_parquet_scan(spark, tmp_path):
+    """The row-level range enforcement in read() must reach the scan
+    as PushedFilters — that is what turns the sorted row groups into
+    actual skipped IO."""
+    t = _mk_log_table(spark, tmp_path, n_buckets=2)
+    t.append(_chunk(spark, 0, 60))
+    t.compact()
+    out = t.read(range_filters={"lsn": (10, 20)})
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in p and "GreaterThanOrEqual(lsn,10)" in p
+
+
+def test_cow_merge_writes_sorted_buckets(spark, tmp_path):
+    """The CoW MERGE rewrite keeps touched buckets in write sort order
+    (table order columns) — the table stays range-prunable between
+    maintenance compactions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(
+            spark,
+            [(i, "insert", f"u{i}", (i * 29) % 50, f"B{i}") for i in range(50)],
+        ),
+    )
+    merge_apply(
+        t,
+        _events_df(
+            spark,
+            [(100 + i, "update", f"u{i}", 100 + (i * 7) % 50, f"N{i}") for i in range(20)],
+        ),
+    )
+    for fl in t.snapshot().files.values():
+        for fe in fl:
+            tbl = pq.read_table(
+                os.path.join(t.root, fe["path"]), columns=["warc_ts", "lsn"]
+            )
+            keys = list(
+                zip(tbl.column("warc_ts").to_pylist(), tbl.column("lsn").to_pylist())
+            )
+            assert keys == sorted(keys), f"unsorted CoW rewrite {fe['path']}"
