@@ -387,6 +387,38 @@ def q_agg_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 event-time tumbling windows: 6-hour windows per event_type
+    via streaming.windows.tumbling_rollup — the same F.window
+    expression runs on batch and streaming input, so this batch run is
+    the oracle for the watermarked streaming path exercised in
+    tests/test_streaming.py.  Window bounds emitted as epoch seconds
+    (timestamp-format-agnostic for the cross-engine compare)."""
+    from realdeal_spark.streaming.windows import tumbling_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_rollup(
+        ev,
+        "ts",
+        "6 hours",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_sum(F.col("value"), 4, "sum_value"),
+        ],
+    )
+    # NTZ has no numeric cast; unix_timestamp interprets it in the
+    # session tz (UTC) → epoch seconds
+    as_epoch = lambda c: F.unix_timestamp(F.col(c))
+    return out.select(
+        as_epoch("window_start").alias("win_start_epoch"),
+        as_epoch("window_end").alias("win_end_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filter→groupBy→multi-agg, decimal-exact sums."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1417,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_topn": q_sort_limit_topn,
         "set_except_users": q_set_except_users,
         "agg_events_rollup": q_agg_events_rollup,
+        "stream_window_rollup": q_stream_window_rollup,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_customer_nation_region": q_join_customer_nation_region,
         "join_orders_revenue": q_join_orders_revenue,
@@ -1542,6 +1575,15 @@ select event_type, count(*) as n,
        round(min(value), 6) as min_value,
        round(max(value), 6) as max_value
 from events group by event_type
+""",
+        "stream_window_rollup": f"""
+select cast(floor(epoch(ts) / 21600) * 21600 as bigint) as win_start_epoch,
+       cast(floor(epoch(ts) / 21600) * 21600 + 21600 as bigint) as win_end_epoch,
+       event_type,
+       count(*) as n_events,
+       {_sum_sql('value')} as sum_value
+from events
+group by 1, 2, 3
 """,
         "agg_pricing_summary": f"""
 select l_returnflag, l_linestatus,

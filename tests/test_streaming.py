@@ -293,3 +293,132 @@ def test_streaming_soak_processing_time_catches_up(spark, tmp_path):
     assert sum(r["events_in"] for r in recs) == 900
     htmls = [f for f in os.listdir(report_dir) if f.endswith(".html")]
     assert len(htmls) == len(applier.reports)
+
+
+# ------------------------- event-time windows (ST9, streaming.windows)
+
+
+def _win_rows(spark, specs):
+    """specs: (hour_offset_float, key) → rows with ntz timestamps."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(base + dt.timedelta(hours=h), k) for h, k in specs],
+        "ts timestamp_ntz, k string",
+    )
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    """One drained micro-batch in update mode == the batch rollup —
+    F.window is engine-shared, watermark is a no-op on complete data."""
+    from realdeal_spark.streaming import tumbling_rollup
+
+    specs = [(i * 0.4, ["a", "b"][i % 2]) for i in range(30)]
+    _win_rows(spark, specs).write.parquet(str(tmp_path / "ev"))
+
+    batch = tumbling_rollup(
+        spark.read.parquet(str(tmp_path / "ev")), "ts", "1 hour", keys=["k"]
+    )
+    want = {
+        (r["window_start"], r["k"]): r["n_events"] for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema("ts timestamp_ntz, k string").parquet(
+        str(tmp_path / "ev")
+    )
+    out = tumbling_rollup(stream, "ts", "1 hour", keys=["k"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winroll1")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["k"]): r["n_events"]
+        for r in spark.sql("select * from winroll1").collect()
+    }
+    assert got == want and len(want) > 4
+
+
+def test_windowed_rollup_append_finalizes_and_drops_late(spark, tmp_path):
+    """Append mode + watermark: a window emits once the watermark
+    passes its end, and events older than the watermark are dropped —
+    the state bound that makes the rollup run on an unbounded stream.
+
+    Micro-batch watermark mechanics (observed on Spark 4.1, matches
+    WatermarkSupport): each batch carries TWO watermark values — the
+    late-row filter uses the watermark as of the *previous* batch,
+    eviction/emission uses the *current* one.  So a late event only
+    drops once the watermark that covers it is at least one batch
+    old; three files (one per trigger via maxFilesPerTrigger=1 +
+    coalesce(1)) stage exactly that:
+
+      A: events at 0.2h 0.5h 1.5h 3.0h   → wm after A = 2h
+      B: event at 3.2h                    → evicts hour-0, hour-1
+      C: fresh 5.0h + LATE 0.7h           → filter wm = 2h → dropped
+      (final empty finalize batch)        → evicts hour-3
+    """
+    import time
+
+    from realdeal_spark.streaming import tumbling_rollup
+
+    src = tmp_path / "ev"
+    for specs in (
+        [(0.2, "a"), (0.5, "a"), (1.5, "a"), (3.0, "a")],
+        [(3.2, "a")],
+        [(5.0, "a"), (0.7, "a")],
+    ):
+        _win_rows(spark, specs).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        time.sleep(1.1)  # file-source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tumbling_rollup(stream, "ts", "1 hour", keys=["k"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winroll2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("select * from winroll2").collect()
+    }
+    # hour-0 finalized WITHOUT the late 0.7h event; hour-3 got 3.0+3.2
+    assert rows.get(0) == 2
+    assert rows.get(1) == 1
+    assert rows.get(3) == 2
+    # hour-5 still open (never emitted), and no duplicate hour-0 emission
+    assert 5 not in rows
+    # the engine counted exactly one state row dropped by the watermark
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
+def test_windowed_rollup_requires_watermark_on_stream(spark, tmp_path):
+    import pytest
+
+    from realdeal_spark.streaming import tumbling_rollup
+
+    _win_rows(spark, [(0.0, "a")]).write.parquet(str(tmp_path / "ev"))
+    stream = spark.readStream.schema("ts timestamp_ntz, k string").parquet(
+        str(tmp_path / "ev")
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        tumbling_rollup(stream, "ts", "1 hour", keys=["k"])
