@@ -419,6 +419,36 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 sessionization: per-user sessions with a 6-hour inactivity
+    gap via streaming.windows.session_rollup (F.session_window —
+    session start = first event, end = last event + gap).  The batch
+    run here is the gaps-and-islands oracle for the watermarked
+    streaming path (tests/test_streaming.py).  Bounds as epoch
+    seconds for the cross-engine compare."""
+    from realdeal_spark.streaming.windows import session_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_rollup(
+        ev,
+        "ts",
+        "6 hours",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_sum(F.col("value"), 4, "sum_value"),
+        ],
+    )
+    as_epoch = lambda c: F.unix_timestamp(F.col(c))
+    return out.select(
+        as_epoch("session_start").alias("sess_start_epoch"),
+        as_epoch("session_end").alias("sess_end_epoch"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filter→groupBy→multi-agg, decimal-exact sums."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1450,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_users": q_set_except_users,
         "agg_events_rollup": q_agg_events_rollup,
         "stream_window_rollup": q_stream_window_rollup,
+        "stream_session_rollup": q_stream_session_rollup,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_customer_nation_region": q_join_customer_nation_region,
         "join_orders_revenue": q_join_orders_revenue,
@@ -1584,6 +1615,27 @@ select cast(floor(epoch(ts) / 21600) * 21600 as bigint) as win_start_epoch,
        {_sum_sql('value')} as sum_value
 from events
 group by 1, 2, 3
+""",
+        "stream_session_rollup": f"""
+with brk as (
+  select user_id, ts, value, event_id,
+         case when lag(ts) over w is null
+              or ts - lag(ts) over w >= interval 6 hour then 1 else 0 end as is_new
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), isl as (
+  select user_id, ts, value,
+         sum(is_new) over (partition by user_id order by ts, event_id
+                           rows unbounded preceding) as sess_id
+  from brk
+)
+select cast(floor(epoch(min(ts))) as bigint) as sess_start_epoch,
+       cast(floor(epoch(max(ts) + interval 6 hour)) as bigint) as sess_end_epoch,
+       user_id,
+       count(*) as n_events,
+       {_sum_sql('value')} as sum_value
+from isl
+group by user_id, sess_id
 """,
         "agg_pricing_summary": f"""
 select l_returnflag, l_linestatus,

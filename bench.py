@@ -55,8 +55,11 @@ HEADLINE = HEADLINE_R1 + [
     "dedup_embedding_bucketed",
     "geo_point_in_polygon",
     "geo_grid_lookup",
-    # round-3 addition: multi-probe ANN (recall-recovery scale path)
+    # round-3 additions: multi-probe ANN (recall-recovery scale path),
+    # event-time windowed rollups (ST9 explicit)
     "knn_lsh_multiprobe",
+    "stream_window_rollup",
+    "stream_session_rollup",
 ]
 
 

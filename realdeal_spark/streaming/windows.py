@@ -66,15 +66,64 @@ def tumbling_rollup(
     the watermark is a no-op and the same call computes the exact
     full-history answer, which is what the correctness oracle checks.
     """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return _windowed_agg(
+        df, ts_col, win, keys, aggs, watermark,
+        "window_start", "window_end", "tumbling_rollup",
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sessionize ``df`` per ``keys``: events whose successive gap is
+    under ``gap`` merge into one session (``F.session_window`` —
+    session start = first event, end = last event + ``gap``).
+
+    Output columns: ``session_start``, ``session_end``, then ``keys``,
+    then the aggregate aliases.  Same watermark contract as
+    :func:`tumbling_rollup`: mandatory on streaming input (session
+    state merges in the state store and is finalized when the
+    watermark passes the session end), no-op on batch — the batch run
+    is the gaps-and-islands oracle.
+
+    Scale note: unlike tumbling windows, sessions MERGE — the state
+    store may rewrite several adjacent sessions on one late event;
+    state per key is still bounded by (sessions live under the
+    watermark), so the watermark remains the state bound.
+    """
+    return _windowed_agg(
+        df, ts_col, F.session_window(ts_col, gap), keys, aggs, watermark,
+        "session_start", "session_end", "session_rollup",
+    )
+
+
+def _windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    win: Column,
+    keys: Sequence[str],
+    aggs: Sequence[Column] | None,
+    watermark: str | None,
+    start_alias: str,
+    end_alias: str,
+    what: str,
+) -> DataFrame:
     ntz_in = df.schema[ts_col].dataType.simpleString().startswith(
         "timestamp_ntz"
     )
     if df.isStreaming:
         if not watermark:
             raise ValueError(
-                "streaming tumbling_rollup requires a watermark — "
-                "unbounded window state does not survive an unbounded "
-                "stream"
+                f"streaming {what} requires a watermark — unbounded "
+                "window state does not survive an unbounded stream"
             )
         if ntz_in:
             # watermarks need an instant (TIMESTAMP, not NTZ); the
@@ -86,10 +135,10 @@ def tumbling_rollup(
         df = df.withWatermark(ts_col, watermark)
     if aggs is None:
         aggs = [F.count(F.lit(1)).alias("n_events")]
-    win = (
-        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
-    ).alias("_w")
-    out = df.groupBy(win, *[F.col(k) for k in keys]).agg(*aggs)
+    # win references ts_col by NAME (unresolved until analysis), so it
+    # binds to the recast/watermarked column even though the caller
+    # built it against the original df
+    out = df.groupBy(win.alias("_w"), *[F.col(k) for k in keys]).agg(*aggs)
     rest = [c for c in out.columns if c != "_w"]
     bound = lambda f: (
         F.col(f"_w.{f}").cast("timestamp_ntz")
@@ -97,7 +146,7 @@ def tumbling_rollup(
         else F.col(f"_w.{f}")
     )
     return out.select(
-        bound("start").alias("window_start"),
-        bound("end").alias("window_end"),
+        bound("start").alias(start_alias),
+        bound("end").alias(end_alias),
         *rest,
     )

@@ -414,7 +414,7 @@ def test_windowed_rollup_append_finalizes_and_drops_late(spark, tmp_path):
 def test_windowed_rollup_requires_watermark_on_stream(spark, tmp_path):
     import pytest
 
-    from realdeal_spark.streaming import tumbling_rollup
+    from realdeal_spark.streaming import session_rollup, tumbling_rollup
 
     _win_rows(spark, [(0.0, "a")]).write.parquet(str(tmp_path / "ev"))
     stream = spark.readStream.schema("ts timestamp_ntz, k string").parquet(
@@ -422,3 +422,58 @@ def test_windowed_rollup_requires_watermark_on_stream(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="watermark"):
         tumbling_rollup(stream, "ts", "1 hour", keys=["k"])
+    with pytest.raises(ValueError, match="watermark"):
+        session_rollup(stream, "ts", "30 minutes", keys=["k"])
+
+
+def test_session_rollup_stream_matches_batch(spark, tmp_path):
+    """Sessionization with merging state: bursts within the gap chain
+    into one session, a >gap pause starts a new one; the drained
+    stream (append mode — the only mode session windows support)
+    equals the batch gaps-and-islands answer.  A far-future sentinel
+    event per key advances the watermark past every real session's
+    end so append mode finalizes them all; the sentinel's own session
+    stays open and never emits."""
+    from realdeal_spark.streaming import session_rollup
+
+    # key a: burst at 0–0.4h (gap 30m merges), lone event at 3h
+    # key b: events at 0.1h, 0.55h (chained within gap → ONE session)
+    specs = [
+        (0.0, "a"), (0.2, "a"), (0.4, "a"), (3.0, "a"),
+        (0.1, "b"), (0.55, "b"),
+    ]
+    _win_rows(spark, specs).write.mode("append").parquet(str(tmp_path / "ev"))
+    _win_rows(spark, [(100.0, "a"), (100.0, "b")]).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "ev"))
+
+    real = spark.read.parquet(str(tmp_path / "ev")).where("ts < '2024-01-03'")
+    batch = session_rollup(real, "ts", "30 minutes", keys=["k"])
+    want = {
+        (r["session_start"], r["session_end"], r["k"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # chained merge: b's two events 27m apart → one session
+    assert sum(1 for (_, _, k) in want if k == "b") == 1
+    assert sum(1 for (_, _, k) in want if k == "a") == 2
+
+    stream = spark.readStream.schema("ts timestamp_ntz, k string").parquet(
+        str(tmp_path / "ev")
+    )
+    out = session_rollup(
+        stream, "ts", "30 minutes", keys=["k"], watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessroll")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["k"]): r["n_events"]
+        for r in spark.sql("select * from sessroll").collect()
+    }
+    assert got == want
