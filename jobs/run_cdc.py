@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> dict:
                     choices=["auto", "light", "max_by", "window"],
                     help="conflation strategy (auto: light for binary "
                          "payloads, else max_by)")
+    ap.add_argument("--salt-buckets", type=int, default=None,
+                    help="with --conflate window: two-phase salted "
+                         "dedup for hot-key logs")
     ap.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
                     help="cow rewrites touched buckets; mor appends "
                          "per-bucket deltas (O(changes) writes)")
@@ -114,6 +117,7 @@ def main(argv: list[str] | None = None) -> dict:
         table, lsn_col="lsn", transform=transform,
         conflate_strategy=args.conflate, merge_mode=args.merge_mode,
         compact_every=args.compact_every, report_sink=report_sink,
+        salt_buckets=args.salt_buckets,
     )
 
     bounds = (0, args.synthetic_events - 1) if args.synthetic_events else None

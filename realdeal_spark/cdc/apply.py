@@ -87,6 +87,11 @@ class CdcApplier:
     binlog lsn).  Both strategies are oracle-checked to identical
     results; set the strategy explicitly to pin one.
 
+    ``salt_buckets`` (with ``conflate_strategy="window"`` only)
+    enables the two-phase salted dedup for hot-key change logs —
+    see cdc.conflate and BENCH_SKEW.md for when the explicit salt
+    beats the AQE fallback.
+
     ``merge_mode="mor"`` switches the MERGE to merge-on-read (write
     only changed rows as per-bucket deltas; see lake.merge) — the
     scale default once the table dwarfs the epoch.  With MoR, set
@@ -108,12 +113,14 @@ class CdcApplier:
         compact_every: int | None = None,
         compact_max_files: int = 4,
         report_sink: Callable[[EpochReport], None] | None = None,
+        salt_buckets: int | None = None,
     ):
         self.table = table
         self.lsn_col = lsn_col
         self.transform = transform
         self.column_merge = column_merge
         self.conflate_strategy = conflate_strategy
+        self.salt_buckets = salt_buckets
         self.auto_evolve = auto_evolve
         self.renames = renames
         self.merge_mode = merge_mode
@@ -205,6 +212,12 @@ class CdcApplier:
         else:
             obs = Observation(f"epoch-{epoch_id}")
             batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+        if strategy == "window" and self.salt_buckets:
+            # two-phase salted row_number: splits a hot key's rows
+            # across salt partitions before the per-key dedup — the
+            # explicit-skew knob for callers pinning the window
+            # strategy (light/max_by resolve skew map-side already)
+            conflate_kwargs["salt_buckets"] = self.salt_buckets
         conflated = conflate(
             batch,
             snap.key_columns,

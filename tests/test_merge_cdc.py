@@ -209,6 +209,21 @@ def test_hot_url_skew(spark, tmp_path):
     _assert_matches_oracle(t, ev)
 
 
+def test_hot_url_skew_salted_window_applier(spark, tmp_path):
+    """The explicit-skew knob: window strategy + salt_buckets through
+    the applier converges to the same state as the default (light)
+    path on a 50%-hot log."""
+    ev = generate_change_events(
+        spark, n_events=300, n_urls=40, hot_share_percent=50,
+        delete_percent=10, ooo_percent=20,
+    )
+    t = _mk_table(spark, tmp_path, n_buckets=4)
+    CdcApplier(t, conflate_strategy="window", salt_buckets=8).run(
+        ev, epoch_size=100
+    )
+    _assert_matches_oracle(t, ev)
+
+
 def test_lineage_records_offsets_to_snapshots(spark, tmp_path):
     ev = generate_change_events(spark, n_events=200, n_urls=50)
     t = _mk_table(spark, tmp_path)
