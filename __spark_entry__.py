@@ -1050,6 +1050,24 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: clusters from
+    ngram-Jaccard pairs via alternating large-star/small-star
+    connected components (operators/graph.py — O(log n) equi-join
+    rounds, no neighborhood collect).  cluster_id = smallest doc_id
+    of the group (the representative to keep).  Oracle: the same pair
+    SQL wrapped in a recursive reachability CTE."""
+    from realdeal_spark.operators.graph import duplicate_clusters
+
+    c = _doubled_corpus(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(
+        c, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=20
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -1239,6 +1257,34 @@ from inter
 join sizes a on a._id = id_a
 join sizes b on b._id = id_b
 where round(cast(i as double) / (a.n + b.n - i), 6) >= {threshold}
+"""
+
+
+def _cluster_sql(
+    shingle_n: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> str:
+    """Duplicate-cluster oracle: the Jaccard pair SQL wrapped in a
+    recursive min-reachability CTE (enumerate reachable nodes per id,
+    take the min — exact transitive closure; clusters at the oracle
+    SF are tiny so the closure does not blow up)."""
+    return f"""
+with recursive pairs as ({_jaccard_sql(shingle_n, threshold, max_df)}),
+edges as (
+  select id_a as a, id_b as b from pairs
+  union
+  select id_b as a, id_a as b from pairs
+),
+nodes as (select distinct a as id from edges),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select w.id, e.b from reach w join edges e on e.a = w.r
+),
+comp as (select id, min(r) as cluster_id from reach group by id)
+select c.id as doc_id, c.cluster_id, s.n as cluster_size
+from comp c
+join (select cluster_id, count(*) as n from comp group by cluster_id) s
+  using (cluster_id)
 """
 
 
@@ -1504,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
@@ -1724,6 +1771,7 @@ from ranked where rn = 1
         "dedup_minhash_lsh": _minhash_sql(16, 4, 3),
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _jaccard_sql(3, 0.8, max_df=20),
+        "dedup_clusters": _cluster_sql(3, 0.8, max_df=20),
         "dedup_embedding_cosine": _cosine_pairs_sql(0.5),
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2

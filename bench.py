@@ -60,6 +60,7 @@ HEADLINE = HEADLINE_R1 + [
     "knn_lsh_multiprobe",
     "stream_window_rollup",
     "stream_session_rollup",
+    "dedup_clusters",
 ]
 
 
