@@ -182,6 +182,48 @@ def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance (cdc.rollup): replay epoch 1,
+    bootstrap the rollup from scratch at v1, replay epoch 2, then
+    advance the rollup to v2 using ONLY the CDF changes feed
+    (upserts + bucket-pruned update_preimages) — never rescanning the
+    table.  Oracle = a plain groupBy over the final replayed state:
+    the maintained state must equal the from-scratch answer."""
+    from realdeal_spark.cdc.rollup import Measure, rollup_advance, rollup_full
+
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_roll_")
+    table = LakeTable.create(
+        spark, f"{root}/state", schema,
+        key_columns=["user_id"], order_columns=["ts", "event_id"],
+        n_buckets=8, soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    measures = [
+        Measure("n_rows", "count"),
+        Measure("sum_value", "sum", "value", scale=4),
+    ]
+    applier.run(log, epoch_size=mx // 2 + 1, max_epochs=1)
+    v1 = table.current_version()
+    state = rollup_full(table, ["event_type"], measures, version=v1)
+    applier.run(log, epoch_size=mx // 2 + 1)
+    v2 = table.current_version()
+    out = rollup_advance(
+        table, state, v1, v2, ["event_type"], measures
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read MERGE path (J2 at 100-TB shape): replay the
     change log in three lsn-range epochs, each writing only *changed*
@@ -1515,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflate_light": q_cdc_conflate_light,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_merge_replay_mor": q_cdc_merge_replay_mor,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         "cdc_read_changes": q_cdc_read_changes,
@@ -1571,6 +1614,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conflate_light": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
         "cdc_merge_replay_mor": _FINAL_STATE_SQL,
+        "cdc_incremental_rollup": f"""
+with final as ({_FINAL_STATE_SQL})
+select event_type, count(*) as n_rows, {_sum_sql('value')} as sum_value
+from final group by event_type
+""",
         "cdc_find_new": """
 with h as (select max(event_id) // 10 as h from events)
 select e.user_id, e.event_id, e.event_type

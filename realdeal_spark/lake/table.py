@@ -513,11 +513,24 @@ class LakeTable:
         return df.select(*cols)
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Incremental changes feed: the net per-key change between two
         snapshots, as current-schema columns + ``change_type``
         (``'upsert'`` | ``'delete'``).
+
+        With ``include_preimage=True`` (the Delta-CDF shape) the feed
+        additionally emits, for every changed key that had a live row
+        at ``from_version``, that old row with
+        ``change_type='update_preimage'`` — the subtraction side that
+        makes additive downstream state (counts, sums, a maintained
+        rollup — see cdc.rollup) incrementally maintainable without
+        rescanning the table.  The pre-image read is pruned to the
+        hash buckets of the changed keys and semi-joined on them, so
+        its cost is O(buckets touched by changes), not O(table).
 
         A CDC engine must *emit* CDC as well as apply it — this is the
         Iceberg incremental-read shape (changelog scan between two
@@ -644,7 +657,56 @@ class LakeTable:
             ).drop(_DELETED_COL)
         else:
             out = out.withColumn("change_type", F.lit("upsert"))
-        return out.drop(_BUCKET_COL)
+        out = out.drop(_BUCKET_COL)
+        if not include_preimage or not old_by_sv:
+            return out
+
+        # ---- update_preimage rows (Delta-CDF shape) ----------------
+        # changed keys are O(changes); their distinct bucket ids are
+        # a metadata-sized driver list that prunes the old-snapshot
+        # scan to only the buckets changes hashed into.
+        changed_keys = (
+            out.select(*keys).distinct().localCheckpoint(eager=True)
+        )
+        bkts = {
+            r["b"]
+            for r in changed_keys.select(
+                F.pmod(
+                    F.xxhash64(*keys), F.lit(from_snap.n_buckets)
+                ).cast("int").alias("b")
+            ).distinct().collect()
+        }
+        pre_by_sv: dict[int, list[str]] = {}
+        for bucket, fl in from_snap.files.items():
+            if int(bucket) not in bkts:
+                continue
+            for fe in fl:
+                pre_by_sv.setdefault(fe["schema_version"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+        if not pre_by_sv:
+            return out
+        pres = [
+            self._read_aligned(to_snap, cur, sv_id, paths)
+            for sv_id, paths in sorted(pre_by_sv.items())
+        ]
+        pre = pres[0]
+        for p in pres[1:]:
+            pre = pre.unionByName(p)
+        # MoR reconcile: latest order-tuple per key among the selected
+        # files (same rule as read()); then live rows only — a key
+        # whose from_version state was a tombstone has no pre-image.
+        pre = conflate(
+            pre, keys, orders, strategy="light", broadcast_winners=False
+        )
+        if from_snap.soft_delete:
+            pre = pre.where(~F.col(_DELETED_COL))
+        pre = (
+            pre.join(changed_keys, on=keys, how="left_semi")
+            .select(*[c for c in out.columns if c != "change_type"])
+            .withColumn("change_type", F.lit("update_preimage"))
+        )
+        return out.unionByName(pre)
 
     # ------------------------------------------------------------- write
 

@@ -1,0 +1,166 @@
+"""Incrementally-maintained rollups (cdc.rollup) and the CDF
+pre-image feed that powers them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from realdeal_spark.cdc.rollup import Measure, rollup_advance, rollup_full
+from realdeal_spark.lake.merge import merge_apply
+from realdeal_spark.lake.table import LakeTable
+
+SCHEMA = "k string, ts timestamp_ntz, lsn bigint, cat string, v double"
+
+
+def _mk(spark, tmp_path, mode="cow", n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=n_buckets, soft_delete=True,
+    )
+
+
+def _ev(spark, rows):
+    """rows: (lsn, op, k, sec, cat, v)."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=sec), lsn, cat, v, op)
+            for (lsn, op, k, sec, cat, v) in rows
+        ],
+        SCHEMA + ", op string",
+    )
+
+
+MEASURES = [
+    Measure("n_rows", "count"),
+    Measure("sum_v", "sum", "v"),
+]
+
+
+def _rows(df):
+    return sorted(
+        (r["cat"], r["n_rows"], float(r["sum_v"])) for r in df.collect()
+    )
+
+
+def test_preimage_feed_shapes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),
+        (2, "insert", "b", 11, "x", 2.0),
+        (3, "insert", "c", 12, "y", 3.0),
+    ]))
+    v1 = t.current_version()
+    merge_apply(t, _ev(spark, [
+        (4, "update", "a", 20, "y", 5.0),   # cat moves x -> y
+        (5, "delete", "b", 21, None, None),
+        (6, "insert", "d", 22, "x", 7.0),
+    ]))
+    ch = t.read_changes(v1, include_preimage=True)
+    got = {
+        (r["k"], r["change_type"]): r["cat"] for r in ch.collect()
+    }
+    assert got == {
+        ("a", "upsert"): "y",
+        ("a", "update_preimage"): "x",
+        ("b", "delete"): None,
+        ("b", "update_preimage"): "x",
+        ("d", "upsert"): "x",
+        # c unchanged: absent from the feed entirely
+    }
+
+
+def test_rollup_advance_equals_full(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.5),
+        (2, "insert", "b", 11, "x", 2.25),
+        (3, "insert", "c", 12, "y", 3.0),
+        (4, "insert", "d", 13, "z", 4.0),
+    ]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES, version=v1)
+    merge_apply(t, _ev(spark, [
+        (5, "update", "a", 20, "y", 10.0),   # moves x -> y
+        (6, "delete", "d", 21, None, None),  # z drops to zero rows
+        (7, "insert", "e", 22, "x", 0.5),
+        (8, "update", "c", 23, "y", 3.5),    # same cat, new value
+        (9, "insert", "f", 24, "w", 1.0),    # new dim value
+    ]))
+    v2 = t.current_version()
+    inc = rollup_advance(t, state, v1, v2, ["cat"], MEASURES)
+    full = rollup_full(t, ["cat"], MEASURES, version=v2)
+    assert _rows(inc) == _rows(full)
+    # z is gone from the maintained state, w appeared
+    cats = {c for (c, _, _) in _rows(inc)}
+    assert "z" not in cats and "w" in cats
+
+
+def test_rollup_advance_over_mor_and_compaction_churn(spark, tmp_path):
+    """Rewrite carryover (MoR deltas folded by compact, CoW rewrites)
+    must be invisible to the maintained state."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),
+        (2, "insert", "b", 11, "y", 2.0),
+    ]), mode="mor")
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES, version=v1)
+    merge_apply(t, _ev(spark, [
+        (3, "update", "a", 20, "x", 9.0),
+        (4, "insert", "c", 21, "y", 3.0),
+    ]), mode="mor")
+    t.compact()                      # churn: deltas fold into base
+    v2 = t.current_version()
+    inc = rollup_advance(t, state, v1, v2, ["cat"], MEASURES)
+    full = rollup_full(t, ["cat"], MEASURES, version=v2)
+    assert _rows(inc) == _rows(full)
+
+
+def test_rollup_multi_epoch_chain(spark, tmp_path):
+    """State advanced epoch-by-epoch equals the from-scratch rollup
+    at every step (the streaming-consumer shape)."""
+    import random
+
+    rng = random.Random(7)
+    t = _mk(spark, tmp_path)
+    state, prev_v, lsn = None, None, 0
+    for epoch in range(4):
+        rows = []
+        for _ in range(30):
+            lsn += 1
+            k = f"k{rng.randrange(25)}"
+            op = rng.choice(["insert", "insert", "update", "delete"])
+            if op == "delete":
+                rows.append((lsn, op, k, lsn, None, None))
+            else:
+                rows.append(
+                    (lsn, op, k, lsn, rng.choice("pqr"),
+                     round(rng.uniform(0, 9), 3))
+                )
+        # merge_apply expects a conflated batch (one row per key)
+        from realdeal_spark.cdc.conflate import conflate
+
+        merge_apply(
+            t, conflate(_ev(spark, rows), ["k"], ["ts", "lsn"],
+                        strategy="max_by")
+        )
+        v = t.current_version()
+        if state is None:
+            state = rollup_full(t, ["cat"], MEASURES, version=v)
+        else:
+            state = rollup_advance(t, state, prev_v, v, ["cat"], MEASURES)
+            state = state.localCheckpoint(eager=True)
+        prev_v = v
+        assert _rows(state) == _rows(
+            rollup_full(t, ["cat"], MEASURES, version=v)
+        ), f"diverged at epoch {epoch}"
+
+
+def test_rollup_rejects_non_additive(spark):
+    with pytest.raises(ValueError, match="maintainable"):
+        Measure("mx", "max", "v")
