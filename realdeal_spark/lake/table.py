@@ -660,14 +660,31 @@ class LakeTable:
         out = out.drop(_BUCKET_COL)
         if not include_preimage or not old_by_sv:
             return out
-
-        # ---- update_preimage rows (Delta-CDF shape) ----------------
-        # changed keys are O(changes); their distinct bucket ids are
-        # a metadata-sized driver list that prunes the old-snapshot
-        # scan to only the buckets changes hashed into.
         changed_keys = (
             out.select(*keys).distinct().localCheckpoint(eager=True)
         )
+        pre = self._preimage_frame(from_snap, to_snap, cur, changed_keys)
+        if pre is None:
+            return out
+        pre = (
+            pre.select(*[c for c in out.columns if c != "change_type"])
+            .withColumn("change_type", F.lit("update_preimage"))
+        )
+        return out.unionByName(pre)
+
+    def _preimage_frame(
+        self, from_snap, to_snap, cur, changed_keys: DataFrame
+    ) -> DataFrame | None:
+        """Old-snapshot rows (live, latest-per-key) for ``changed_keys``
+        — the Delta-CDF ``update_preimage`` side of the changes feed.
+
+        Changed keys are O(changes); their distinct bucket ids are a
+        metadata-sized driver list that prunes the old-snapshot scan to
+        only the buckets changes hashed into (plan-asserted in
+        tests/test_plans.py).  Files are aligned through ``to_snap``'s
+        schema map, so pre-images survive renames/widens inside the
+        interval."""
+        keys, orders = to_snap.key_columns, to_snap.order_columns
         bkts = {
             r["b"]
             for r in changed_keys.select(
@@ -685,7 +702,7 @@ class LakeTable:
                     os.path.join(self.root, fe["path"])
                 )
         if not pre_by_sv:
-            return out
+            return None
         pres = [
             self._read_aligned(to_snap, cur, sv_id, paths)
             for sv_id, paths in sorted(pre_by_sv.items())
@@ -696,17 +713,14 @@ class LakeTable:
         # MoR reconcile: latest order-tuple per key among the selected
         # files (same rule as read()); then live rows only — a key
         # whose from_version state was a tombstone has no pre-image.
+        from realdeal_spark.cdc.conflate import conflate
+
         pre = conflate(
             pre, keys, orders, strategy="light", broadcast_winners=False
         )
         if from_snap.soft_delete:
             pre = pre.where(~F.col(_DELETED_COL))
-        pre = (
-            pre.join(changed_keys, on=keys, how="left_semi")
-            .select(*[c for c in out.columns if c != "change_type"])
-            .withColumn("change_type", F.lit("update_preimage"))
-        )
-        return out.unionByName(pre)
+        return pre.join(changed_keys, on=keys, how="left_semi")
 
     # ------------------------------------------------------------- write
 

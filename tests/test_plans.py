@@ -130,6 +130,78 @@ def test_mor_classification_target_read_is_narrow(spark, tmp_path):
     assert "html" not in scan
 
 
+def test_connected_components_round_is_equi_join(spark):
+    """One large-star/small-star round must plan as hash equi-joins
+    with a partial-aggregated groupBy-min — no cartesian, no
+    neighborhood collect_list (the hub-node killer at scale)."""
+    from realdeal_spark.operators.graph import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], ["src", "dst"]
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    p = plan(_small_star(_large_star(e)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "collect_list" not in p
+    assert "partial_min" in p  # map-side combine of the min-neighbor agg
+
+
+def test_preimage_read_prunes_buckets(spark, tmp_path):
+    """The CDF pre-image scan must read only the old-snapshot files of
+    buckets the changes hashed into — O(touched buckets), not
+    O(table)."""
+    import datetime as dt
+
+    from realdeal_spark.lake.merge import merge_apply
+    from realdeal_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, v double",
+        ["url"], ["warc_ts", "lsn"], n_buckets=8, soft_delete=True,
+    )
+    rows = [(f"u{i}", dt.datetime(2024, 1, 1), i, float(i)) for i in range(200)]
+    t.append(spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, lsn bigint, v double"
+    ))
+    v1 = t.current_version()
+    old_files = {
+        f"{t.root}/{fe['path']}"
+        for fl in t.snapshot(v1).files.values() for fe in fl
+    }
+    assert len(t.snapshot(v1).files) == 8  # all buckets populated
+    src = spark.createDataFrame(
+        [("u7", dt.datetime(2024, 1, 2), 1000, 99.0, "update")],
+        "url string, warc_ts timestamp_ntz, lsn bigint, v double, op string",
+    )
+    merge_apply(t, src)
+    # probe the pre-image scan in isolation (the full feed also reads
+    # every old file through the narrow carried-copy anti join, so
+    # inputFiles on the feed can't see the pruning)
+    from_snap, to_snap = t.snapshot(v1), t.snapshot()
+    cur = t._schema_version(to_snap, to_snap.current_schema)
+    changed = spark.createDataFrame([("u7",)], "url string")
+    pre = t._preimage_frame(from_snap, to_snap, cur, changed)
+    in_files = {
+        f.replace("file:", "").replace("///", "/") for f in pre.inputFiles()
+    }
+    bucket_of_u7 = {
+        f"{t.root}/{fe['path']}"
+        for fe in from_snap.files[str(_bucket_id(spark, "u7", 8))]
+    }
+    assert in_files == bucket_of_u7
+    assert len(in_files) < len(old_files)
+    # and the feed itself is correct
+    ch = t.read_changes(v1, include_preimage=True)
+    got = {(r["url"], r["change_type"]) for r in ch.collect()}
+    assert got == {("u7", "upsert"), ("u7", "update_preimage")}
+
+
+def _bucket_id(spark, key: str, n_buckets: int) -> int:
+    return spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key)), F.lit(n_buckets)).cast("int")
+    ).first()[0]
+
+
 def test_lake_read_prunes_buckets(spark, tmp_path):
     """Bucket-pruned read lists only the pruned buckets' files."""
     from realdeal_spark.lake.table import LakeTable
