@@ -1001,6 +1001,90 @@ _DOUBLED_SQL = (
 )
 
 
+def _synth_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URLs over documents (the corpus has no
+    url column): messy case, www, utm params, fragment — everything
+    normalize_url_expr must fix; identical expression in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".COM/Path/"),
+            F.col("source"),
+            F.lit("/page?utm_source=x&id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&utm_campaign=Y#sec"),
+        ).alias("url"),
+    )
+
+
+def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (extract/redact.py): lowercase scheme+host,
+    strip www/fragment/utm params, mend separators — pure Catalyst
+    regexp chain, RE2-safe so the oracle runs the same chain."""
+    from realdeal_spark.extract.redact import domain_expr, normalize_url_expr
+
+    u = _synth_url(spark, sf_dir)
+    norm = normalize_url_expr("url")
+    return u.select(
+        "doc_id",
+        norm.alias("url_norm"),
+        domain_expr(norm).alias("domain"),
+    )
+
+
+def q_web_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain accounting over normalized URLs — the corpus-level
+    composition (normalize → extract domain → groupBy)."""
+    from realdeal_spark.extract.redact import domain_expr, normalize_url_expr
+
+    u = _synth_url(spark, sf_dir)
+    return (
+        u.select(
+            domain_expr(normalize_url_expr("url")).alias("domain"), "n_chars"
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (extract/redact.py): emails/IPv4/SSN-shaped ids →
+    placeholders, plus occurrence counts.  PII is planted
+    deterministically per doc (the corpus has none); output carries
+    md5 of the redacted text so the value-hash compare covers every
+    byte of the scrub without shipping full documents."""
+    from realdeal_spark.extract.redact import pii_count_exprs, redact_pii_expr
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact a"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com or 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7; SSN 123-45-6789."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc b@ex.com")).otherwise(
+            F.lit("")
+        ),
+    )
+    w = d.select("doc_id", planted.alias("t2"))
+    return w.select(
+        "doc_id",
+        F.md5(redact_pii_expr("t2")).alias("red_md5"),
+        *pii_count_exprs("t2"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _doubled_corpus(spark, sf_dir)
     return DD.exact_dedup(c, "text", "doc_id").select("doc_id", "text")
@@ -1302,6 +1386,54 @@ where round(cast(i as double) / (a.n + b.n - i), 6) >= {threshold}
 """
 
 
+# DuckDB twin of extract/redact.py normalize_url_expr over the same
+# synthetic URL (see q_web_url_normalize).  Ends with the `s6` CTE
+# open so callers append their final select.  DuckDB regexp_replace
+# needs the 'g' flag for replace-all (Spark replaces all by default);
+# anchored patterns match at most once so the flag is moot there.
+_URL_NORM_SQL = r"""
+with u as (
+  select doc_id, source, n_chars,
+         concat('HTTPS://WWW.Example', cast(doc_id % 50 as varchar),
+                '.COM/Path/', source, '/page?utm_source=x&id=',
+                cast(doc_id as varchar), '&utm_campaign=Y#sec') as url
+  from documents),
+s1 as (select *, regexp_replace(url, '#.*', '', 'g') as u1 from u),
+s2 as (select *, concat(lower(regexp_extract(u1, '(?i)^(https?://[^/?]+)', 1)),
+                        regexp_replace(u1, '(?i)^https?://[^/?]+', '')) as u2
+       from s1),
+s3 as (select *, regexp_replace(u2, '^(https?://)www\.', '\1') as u3 from s2),
+s4 as (select *, regexp_replace(u3, 'utm_[A-Za-z]+=[^&?]*&?', '', 'g') as u4 from s3),
+s5 as (select *, regexp_replace(regexp_replace(u4, '[?&]+$', ''), '\?&', '?', 'g') as u5 from s4),
+s6 as (select doc_id, n_chars, regexp_replace(u5, '/+$', '') as u from s5)
+"""
+
+
+def _redact_sql() -> str:
+    from realdeal_spark.extract.redact import EMAIL_RE, IPV4_RE, SSN_RE
+
+    return f"""
+with w as (
+  select doc_id,
+         concat(text, ' Contact a', cast(doc_id % 9 as varchar), '@ex',
+                cast(doc_id % 5 as varchar), '.com or 10.1.',
+                cast(doc_id % 256 as varchar), '.7; SSN 123-45-6789.',
+                case when doc_id % 3 = 0 then ' cc b@ex.com' else '' end) as t2
+  from documents)
+select doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(t2,
+            '{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'),
+            '{SSN_RE}', '<SSN>', 'g')) as red_md5,
+       cast(len(regexp_extract_all(t2, '{EMAIL_RE}')) as int) as n_emails,
+       cast(len(regexp_extract_all(t2, '{IPV4_RE}')) as int) as n_ips,
+       cast(len(regexp_extract_all(t2, '{SSN_RE}')) as int) as n_ssns
+from w
+"""
+
+
+_REDACT_SQL = _redact_sql()
+
+
 def _cluster_sql(
     shingle_n: int = 3, threshold: float = 0.8, max_df: int | None = None
 ) -> str:
@@ -1594,6 +1726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "web_url_normalize": q_web_url_normalize,
+        "web_domain_rollup": q_web_domain_rollup,
+        "text_redact_pii": q_text_redact_pii,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
@@ -1820,6 +1955,17 @@ from ranked where rn = 1
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _jaccard_sql(3, 0.8, max_df=20),
         "dedup_clusters": _cluster_sql(3, 0.8, max_df=20),
+        "web_url_normalize": _URL_NORM_SQL + """
+select doc_id, u as url_norm,
+       regexp_extract(u, '^https?://([^/:?]+)', 1) as domain
+from s6
+""",
+        "web_domain_rollup": _URL_NORM_SQL + """
+select regexp_extract(u, '^https?://([^/:?]+)', 1) as domain,
+       count(*) as n_docs, sum(n_chars) as sum_chars
+from s6 group by 1
+""",
+        "text_redact_pii": _REDACT_SQL,
         "dedup_embedding_cosine": _cosine_pairs_sql(0.5),
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2

@@ -61,6 +61,8 @@ HEADLINE = HEADLINE_R1 + [
     "stream_window_rollup",
     "stream_session_rollup",
     "dedup_clusters",
+    "text_redact_pii",
+    "web_domain_rollup",
 ]
 
 
