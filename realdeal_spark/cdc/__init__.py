@@ -10,6 +10,12 @@ from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.cdc.apply import CdcApplier, EpochReport
 from realdeal_spark.cdc.backfill import backfill
 from realdeal_spark.cdc.evolve import plan_evolution, reconcile
+from realdeal_spark.cdc.rollup import (
+    Measure,
+    RollupMaintainer,
+    rollup_advance,
+    rollup_full,
+)
 
 __all__ = [
     "conflate",
@@ -18,4 +24,8 @@ __all__ = [
     "backfill",
     "plan_evolution",
     "reconcile",
+    "Measure",
+    "RollupMaintainer",
+    "rollup_advance",
+    "rollup_full",
 ]

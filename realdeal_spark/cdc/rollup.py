@@ -29,6 +29,9 @@ LakeTable, parquet, memory); the maintenance is pure.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -146,3 +149,100 @@ def rollup_advance(
         # a dim value whose row count hit zero leaves the state
         out = out.where(F.col(count_aliases[0]) > 0)
     return out
+
+
+class RollupMaintainer:
+    """Keeps a rollup continuously in sync with a LakeTable.
+
+    ``refresh()`` advances the maintained state to the table's current
+    snapshot: bootstrap via :func:`rollup_full` on first call, then
+    :func:`rollup_advance` over the CDF feed for every subsequent
+    epoch — the standing consumer a CdcApplier/StreamingCdcApplier
+    loop calls after each committed epoch.
+
+    With ``state_dir`` the state is persisted as parquet under
+    ``state_dir/v=<table_version>/`` (written to the exact version it
+    reflects, so persistence is idempotent): a restarted maintainer
+    resumes from the newest persisted version that still exists in
+    the table's history instead of rescanning the table — the same
+    checkpoint-in-the-data resumability contract as the applier
+    itself.  The previous version's directory is kept (one-level
+    undo), older ones are removed.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        dims: Sequence[str],
+        measures: Sequence[Measure],
+        state_dir: str | None = None,
+    ):
+        self.table = table
+        self.dims = list(dims)
+        self.measures = list(measures)
+        self.state_dir = state_dir
+        self._state: DataFrame | None = None
+        self._version: int | None = None
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            v = self._latest_persisted()
+            if v is not None:
+                self._state = table.spark.read.parquet(
+                    os.path.join(state_dir, f"v={v}")
+                )
+                self._version = v
+
+    def _latest_persisted(self) -> int | None:
+        vs = [
+            int(m.group(1))
+            for d in os.listdir(self.state_dir)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+        ]
+        return max(vs) if vs else None
+
+    @property
+    def version(self) -> int | None:
+        """Table version the maintained state reflects."""
+        return self._version
+
+    def refresh(self) -> DataFrame:
+        """Advance to the table's current version and return the
+        state.  No-op (cheap) if already current."""
+        cur = self.table.current_version()
+        if self._version == cur and self._state is not None:
+            return self._state
+        resumable = self._state is not None
+        if resumable:
+            try:  # the base snapshot may have been expired since
+                self.table.snapshot(self._version)
+            except Exception:
+                resumable = False
+        if resumable:
+            state = rollup_advance(
+                self.table, self._state, self._version, cur,
+                self.dims, self.measures,
+            )
+        else:
+            state = rollup_full(
+                self.table, self.dims, self.measures, version=cur
+            )
+        # materialize: the next advance must not re-execute the whole
+        # chain of prior advances (unbounded lineage)
+        if self.state_dir:
+            out = os.path.join(self.state_dir, f"v={cur}")
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            state.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+            state = self.table.spark.read.parquet(out)
+            for d in os.listdir(self.state_dir):
+                m = re.fullmatch(r"v=(\d+)", d)
+                if m and int(m.group(1)) not in (cur, self._version):
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, d), ignore_errors=True
+                    )
+        else:
+            state = state.localCheckpoint(eager=True)
+        self._state, self._version = state, cur
+        return state

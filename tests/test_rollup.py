@@ -164,3 +164,53 @@ def test_rollup_multi_epoch_chain(spark, tmp_path):
 def test_rollup_rejects_non_additive(spark):
     with pytest.raises(ValueError, match="maintainable"):
         Measure("mx", "max", "v")
+
+
+def test_rollup_maintainer_persists_and_resumes(spark, tmp_path):
+    """The standing-consumer shape: refresh() after each epoch, state
+    persisted per table version; a RESTARTED maintainer resumes from
+    the persisted state and only advances over the new epochs."""
+    from realdeal_spark.cdc.rollup import RollupMaintainer
+
+    t = _mk(spark, tmp_path)
+    sd = str(tmp_path / "rollup_state")
+    m = RollupMaintainer(t, ["cat"], MEASURES, state_dir=sd)
+
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0), (2, "insert", "b", 11, "y", 2.0),
+    ]))
+    s1 = m.refresh()
+    assert m.version == t.current_version()
+    assert _rows(s1) == _rows(rollup_full(t, ["cat"], MEASURES))
+    # idempotent refresh: same version → same frame, no work
+    assert m.refresh() is s1
+
+    merge_apply(t, _ev(spark, [
+        (3, "update", "a", 20, "y", 9.0), (4, "insert", "c", 21, "x", 3.0),
+    ]))
+    m.refresh()
+
+    # ---- restart: a fresh maintainer resumes from disk
+    m2 = RollupMaintainer(t, ["cat"], MEASURES, state_dir=sd)
+    assert m2.version == t.current_version()
+    merge_apply(t, _ev(spark, [(5, "delete", "b", 30, None, None)]))
+    s3 = m2.refresh()
+    assert _rows(s3) == _rows(rollup_full(t, ["cat"], MEASURES))
+
+
+def test_rollup_maintainer_bootstraps_after_expired_base(spark, tmp_path):
+    """If the persisted base snapshot was expired, the maintainer
+    falls back to a full bootstrap instead of failing."""
+    from realdeal_spark.cdc.rollup import RollupMaintainer
+
+    t = _mk(spark, tmp_path)
+    sd = str(tmp_path / "rollup_state")
+    m = RollupMaintainer(t, ["cat"], MEASURES, state_dir=sd)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 10, "x", 1.0)]))
+    m.refresh()
+    merge_apply(t, _ev(spark, [(2, "insert", "b", 11, "y", 2.0)]))
+    merge_apply(t, _ev(spark, [(3, "insert", "c", 12, "y", 4.0)]))
+    t.expire_snapshots(keep_last=1)
+    m2 = RollupMaintainer(t, ["cat"], MEASURES, state_dir=sd)
+    s = m2.refresh()
+    assert _rows(s) == _rows(rollup_full(t, ["cat"], MEASURES))
