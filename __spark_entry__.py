@@ -461,6 +461,35 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 sliding windows: 12-hour windows sliding every 6 hours —
+    each event lands in exactly two windows.  Oracle unrolls the
+    slide: per event, the two 6h-aligned starts covering it, then the
+    same groupBy."""
+    from realdeal_spark.streaming.windows import tumbling_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_rollup(
+        ev,
+        "ts",
+        "12 hours",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_sum(F.col("value"), 4, "sum_value"),
+        ],
+        slide="6 hours",
+    )
+    as_epoch = lambda c: F.unix_timestamp(F.col(c))
+    return out.select(
+        as_epoch("window_start").alias("win_start_epoch"),
+        as_epoch("window_end").alias("win_end_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST9 sessionization: per-user sessions with a 6-hour inactivity
     gap via streaming.windows.session_rollup (F.session_window —
@@ -1701,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_users": q_set_except_users,
         "agg_events_rollup": q_agg_events_rollup,
         "stream_window_rollup": q_stream_window_rollup,
+        "stream_sliding_rollup": q_stream_sliding_rollup,
         "stream_session_rollup": q_stream_session_rollup,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_customer_nation_region": q_join_customer_nation_region,
@@ -1844,6 +1874,24 @@ select cast(floor(epoch(ts) / 21600) * 21600 as bigint) as win_start_epoch,
        count(*) as n_events,
        {_sum_sql('value')} as sum_value
 from events
+group by 1, 2, 3
+""",
+        "stream_sliding_rollup": f"""
+with starts as (
+  -- window 12h, slide 6h: every event is in exactly the two windows
+  -- starting at its 6h-aligned floor and one slide before it
+  select e.*, s.start_off
+  from events e
+  cross join (select unnest([0, 21600]) as start_off) s
+)
+select cast(floor(epoch(ts) / 21600) * 21600 - start_off as bigint)
+         as win_start_epoch,
+       cast(floor(epoch(ts) / 21600) * 21600 - start_off + 43200 as bigint)
+         as win_end_epoch,
+       event_type,
+       count(*) as n_events,
+       {_sum_sql('value')} as sum_value
+from starts
 group by 1, 2, 3
 """,
         "stream_session_rollup": f"""

@@ -59,6 +59,7 @@ HEADLINE = HEADLINE_R1 + [
     # event-time windowed rollups (ST9 explicit)
     "knn_lsh_multiprobe",
     "stream_window_rollup",
+    "stream_sliding_rollup",
     "stream_session_rollup",
     "dedup_clusters",
     "text_redact_pii",

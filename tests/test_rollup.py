@@ -198,6 +198,48 @@ def test_rollup_maintainer_persists_and_resumes(spark, tmp_path):
     assert _rows(s3) == _rows(rollup_full(t, ["cat"], MEASURES))
 
 
+def test_rollup_maintainer_rides_applier_epochs(spark, tmp_path):
+    """End-to-end standing-consumer composition: the applier's
+    per-epoch report_sink hook drives RollupMaintainer.refresh, so
+    the aggregate tracks the table epoch-by-epoch with no new API."""
+    from realdeal_spark.cdc.apply import CdcApplier
+    from realdeal_spark.cdc.events import generate_change_events
+    from realdeal_spark.cdc.rollup import RollupMaintainer
+    from realdeal_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pages"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary, "
+        "lang string",
+        ["url"], ["warc_ts", "lsn"], n_buckets=4, soft_delete=True,
+    )
+    m = RollupMaintainer(
+        t, ["lang"],
+        [Measure("n_pages", "count")],
+        state_dir=str(tmp_path / "roll"),
+    )
+    seen_versions = []
+    applier = CdcApplier(
+        t,
+        report_sink=lambda r: seen_versions.append(
+            (r.snapshot_version, m.refresh().count())
+        ),
+    )
+    ev = generate_change_events(
+        spark, n_events=400, n_urls=80, delete_percent=10, ooo_percent=10
+    )
+    applier.run(ev, epoch_size=150)
+    assert len(seen_versions) == 3  # one refresh per epoch
+    assert m.version == t.current_version()
+    assert _lang_rows(m.refresh()) == _lang_rows(
+        rollup_full(t, ["lang"], [Measure("n_pages", "count")])
+    )
+
+
+def _lang_rows(df):
+    return sorted((r["lang"], r["n_pages"]) for r in df.collect())
+
+
 def test_rollup_maintainer_bootstraps_after_expired_base(spark, tmp_path):
     """If the persisted base snapshot was expired, the maintainer
     falls back to a full bootstrap instead of failing."""
