@@ -147,13 +147,68 @@ def main() -> None:
     )
     sections.append(
         (
-            "Point-in-polygon join (broadcast + bbox prune + Arrow ray cast)",
-            "BroadcastNestedLoopJoin on the bbox predicate against the "
-            "*broadcast polygon table* (thousands of polygons vs billions "
-            "of points — the small side is broadcast, the point side never "
-            "shuffles), then ArrowEvalPython for the exact test on bbox "
-            "survivors only.",
+            "Point-in-polygon join (grid-cell equi-join + bbox prune + Arrow ray cast)",
+            "Polygons explode to covering grid cells and BROADCAST; the "
+            "candidate join is a BroadcastHashJoin on the point's cell id "
+            "(never a nested loop over all polygons), bbox predicate "
+            "prunes within-cell candidates JVM-side, ArrowEvalPython "
+            "ray-casts the survivors only.  The point side never shuffles.",
             point_in_polygon_join(pts, polys).select("event_id", "poly_id"),
+        )
+    )
+
+    # round 3: connected-components star round — pure equi-joins
+    from realdeal_spark.operators.graph import _large_star, _small_star
+
+    edges = spark.range(1, 400).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sections.append(
+        (
+            "Connected-components round (large-star → small-star)",
+            "groupBy-min neighborhoods (partial_min map-side) + hash "
+            "equi-joins on the node id — no collect_list (a 10^8-degree "
+            "hub never materializes one row), no cartesian; O(log n) "
+            "such rounds with a localCheckpoint between them.",
+            _small_star(_large_star(edges)),
+        )
+    )
+
+    # round 3: event-time tumbling rollup — windowed partial aggregation
+    from realdeal_spark.streaming.windows import tumbling_rollup
+
+    sections.append(
+        (
+            "Event-time tumbling rollup (batch twin of the streaming plan)",
+            "HashAggregate partial over (window, key) BEFORE the exchange "
+            "— the shuffle carries one row per (window, key) per task, "
+            "not per event; the same F.window expression drives the "
+            "streaming state-store plan.",
+            tumbling_rollup(ev, "ts", "6 hours", keys=["event_type"]),
+        )
+    )
+
+    # round 3: CDF pre-image read — bucket-pruned old-snapshot scan
+    from realdeal_spark.lake.merge import merge_apply
+
+    src = spark.createDataFrame(
+        [("u7", dt.datetime(2024, 1, 2), 1000, b"y", "update")],
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary, op string",
+    )
+    merge_apply(t, src)
+    from_snap = t.snapshot(t.current_version() - 1)
+    to_snap = t.snapshot()
+    cur = t._schema_version(to_snap, to_snap.current_schema)
+    changed = spark.createDataFrame([("u7",)], "url string")
+    sections.append(
+        (
+            "CDF pre-image read (bucket-pruned old snapshot)",
+            "The scan's file list holds ONLY the changed keys' buckets "
+            "(driver-side pruning from the snapshot manifest — compare "
+            "the single pb= path against the table's 4 buckets); the "
+            "winner-find reconcile and the changed-key semi join are "
+            "narrow.",
+            t._preimage_frame(from_snap, to_snap, cur, changed),
         )
     )
 
