@@ -1246,6 +1246,19 @@ def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_knn(e, queries, dim=64, k=5, n_planes=8, probes=4)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN (operators/similarity.py ivf_knn): corpus
+    partitioned into 16 Voronoi cells around deterministic seed
+    centroids (the 16 lowest-id vectors), each query probes its 4
+    nearest cells, exact cosine re-rank inside.  Cell assignment is a
+    shuffle-free map (centroid literals in-plan); candidates come from
+    one equi-join on the long cell id.  Oracle mirrors the cell
+    ranking as a row_number over round(cos,6) DESC, cid ASC."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_knn(e, queries, k=5, n_lists=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant + multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1681,6 +1694,47 @@ from ranked where rank <= {k}
 """
 
 
+def _knn_ivf_sql(
+    k: int = 5, n_lists: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """Oracle for IVF ANN.  Centroids = the n_lists lowest-id vectors
+    (cid = the seed's vec_id); cell ranking = row_number over
+    (round(cos,6) DESC, cid ASC) — the same order as Spark's
+    array_sort over struct(-round(cos,6), cid).  rn=1 assigns the
+    corpus, rn<=nprobe is the probe set for the query rows."""
+    dot_vc = _dot_sql("a.v", "c.cv")
+    nv = _dot_sql("a.v", "a.v")
+    ncv = _dot_sql("c.cv", "c.cv")
+    dot = _dot_sql("q.v", "c.v")
+    nq = _dot_sql("q.v", "q.v")
+    nc = _dot_sql("c.v", "c.v")
+    return f"""
+with v as (select vec_id, {_VEC_SQL} as v from embeddings),
+cent as (select vec_id as cid, v as cv from v order by vec_id limit {n_lists}),
+cells as (
+  select a.vec_id, a.v, c.cid,
+         round({dot_vc} / (sqrt({nv}) * sqrt({ncv})), 6) as cos
+  from v a cross join cent c),
+ranked_cells as (
+  select *, row_number() over (partition by vec_id
+                               order by cos desc, cid asc) as rn
+  from cells),
+c as (select vec_id, v, cid as list_id from ranked_cells where rn = 1),
+q as (select vec_id, v, cid as list_id from ranked_cells
+      where rn <= {nprobe} and vec_id < 5),
+scored as (
+  select q.vec_id as query_id, c.vec_id as vec_id,
+         round({dot} / (sqrt({nq}) * sqrt({nc})), 6) as cosine
+  from c join q on c.list_id = q.list_id and c.vec_id <> q.vec_id),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, vec_id asc) as rank
+  from scored)
+select query_id, vec_id, cosine, cast(rank as int) as rank
+from ranked where rank <= {k}
+"""
+
+
 _ANNUITY_R = 0.04 / 12.0
 _ANNUITY_DENOM = 1.0 - (1.0 + _ANNUITY_R) ** (-360)
 
@@ -1766,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+        "knn_ivf": q_knn_ivf,
         # extraction + multimodal plumbing
         "extract_html_text": q_extract_html_text,
         "multimodal_meta": q_multimodal_meta,
@@ -2021,6 +2076,7 @@ from s6 group by 1
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),
         "knn_lsh_multiprobe": _knn_multiprobe_sql(5),
+        "knn_ivf": _knn_ivf_sql(5),
         "extract_html_text": """
 select doc_id,
        trim(regexp_replace(text, '[ \\t\\r\\f\\x0b]+', ' ', 'g')) as text_out

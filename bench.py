@@ -58,6 +58,7 @@ HEADLINE = HEADLINE_R1 + [
     # round-3 additions: multi-probe ANN (recall-recovery scale path),
     # event-time windowed rollups (ST9 explicit)
     "knn_lsh_multiprobe",
+    "knn_ivf",
     "stream_window_rollup",
     "stream_sliding_rollup",
     "stream_session_rollup",

@@ -11,9 +11,18 @@
   construction (that's the trade); raise n_planes→smaller buckets,
   lower→higher recall.
 
+- :func:`ivf_knn` — inverted-file ANN: partition the corpus into
+  ``n_lists`` Voronoi cells around centroid vectors, probe the
+  ``nprobe`` cells nearest each query, exact cosine re-rank inside
+  the probed cells.  Centroids default to a deterministic seed (the
+  ``n_lists`` lowest-id corpus vectors — oracle-expressible); feed
+  :func:`kmeans_refine` output for learned centroids at scale.
+
 At 100 TB the corpus side stays partitioned; only the query side is
-broadcast.  An IVF variant would replace the hash with learned
-centroids — same join shape.
+broadcast.  IVF and LSH share the same join shape: candidates come
+from an equi-join on a small int cell/bucket id, the corpus is never
+shuffled, and cell assignment is a map-only pass (the centroid set is
+folded into the plan as literals — no join, no shuffle).
 """
 
 from __future__ import annotations
@@ -248,6 +257,175 @@ def lsh_bucketed_knn(
         ).drop("_projs", "_home", "_ord")
     scored = (
         c.join(F.broadcast(q), on="bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seeds: the ``n_lists`` lowest-id corpus
+    vectors, cell id = the seed's own vec_id.
+
+    This is the oracle-expressible analogue of k-means seeding (at
+    corpus scale you would sample instead of taking a prefix, then
+    refine with :func:`kmeans_refine` — the downstream join shape is
+    identical either way).  The collect is ``n_lists`` rows by
+    construction: centroids are driver-resident so they can be folded
+    into the assignment expression as literals, which is what makes
+    cell assignment a shuffle-free map."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_id")
+        .limit(n_lists)
+        .collect()
+    )
+    return [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in rows]
+
+
+def _cell_ranking_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<c: double, cid: long>> sorted ascending by
+    (-round(cosine, 6), cid) — element 1 is the best (nearest) cell,
+    the first ``nprobe`` elements are the probe set.
+
+    Every term (dot, norms, round) uses the same left-to-right
+    F.aggregate fold as :func:`cosine_expr`, and the centroid norm is
+    computed in-plan over the literal array rather than in Python —
+    bit-identical to an oracle that ranks by
+    ``round(cos, 6) DESC, cid ASC`` with the same summation order."""
+    entries = []
+    for cid, cv in centroids:
+        consts = F.array(*[F.lit(float(x)) for x in cv])
+        cos = F.round(cosine_expr(vec, consts), 6)
+        entries.append(
+            F.struct((-cos).alias("c"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    return F.array_sort(F.array(*entries))
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations over seed centroids.
+
+    Each round: (1) assign every corpus vector to its nearest centroid
+    — a map-only pass (centroids are plan literals, no join); (2) new
+    centroid = element-wise mean per cell via posexplode →
+    groupBy(cell, pos) avg — the only shuffle, and it carries
+    ``n_rows × dim`` scalar rows that partial-aggregate map-side down
+    to ``n_lists × dim``.  Cells that lose all members keep their old
+    centroid (standard Lloyd fallback).  Per round the driver collects
+    ``n_lists`` rows — the same driver-resident-centroid contract as
+    MLlib KMeans' final model.
+    """
+    cur = list(centroids)
+    for _ in range(n_iter):
+        assigned = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("_v")
+        ).withColumn(
+            "_cell", F.element_at(_cell_ranking_expr(F.col("_v"), cur), 1)["cid"]
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+                ).alias("_s")
+            )
+            .select(
+                "_cell", F.transform("_s", lambda s: s["_m"]).alias("_centroid")
+            )
+            .collect()
+        )
+        new = {int(r["_cell"]): [float(x) for x in r["_centroid"]] for r in means}
+        cur = [(cid, new.get(cid, cv)) for cid, cv in cur]
+    return cur
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: candidates share one of
+    the query's ``nprobe`` nearest Voronoi cells.
+
+    Output: (query_id, vec_id, cosine, rank) — same contract as
+    :func:`lsh_bucketed_knn`.  ``nprobe == n_lists`` degenerates to
+    exact brute force (every cell probed), which pins the semantics in
+    tests.  Corpus cells are disjoint (each vector lives in exactly
+    one list), so a candidate cannot appear under two probes of one
+    query — no dedup pass.
+
+    Scale shape: assignment is a map (centroid literals folded into
+    the plan — ``n_lists × dim`` fused multiply-adds per row, no
+    join); the candidate join is an equi-join on a small long cell id
+    with the query side exploded to ``nprobe`` rows and broadcast; the
+    corpus is never shuffled.  Versus LSH: recall degrades gracefully
+    with data geometry instead of cliff-ing with n_planes, at the cost
+    of a centroid-management step (seed or :func:`kmeans_refine`).
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_lists, vec_col, id_col)
+    if nprobe < 1 or nprobe > len(centroids):
+        raise ValueError(f"nprobe={nprobe} out of range 1..{len(centroids)}")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn(
+        "list_id", F.element_at(_cell_ranking_expr(F.col("_cv"), centroids), 1)["cid"]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _cell_ranking_expr(F.col("_qv"), centroids), 1, nprobe
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), on="list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

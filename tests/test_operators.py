@@ -257,3 +257,124 @@ def test_lsh_knn_subset_of_bruteforce_candidates(spark):
     for r in approx.collect():
         assert (r["query_id"], r["vec_id"]) in ex
         assert abs(ex[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+
+
+def test_ivf_knn_full_probe_equals_brute_force(spark):
+    """nprobe == n_lists probes every Voronoi cell — the IVF result
+    must then equal exact brute force row-for-row (pins the semantics:
+    approximation comes only from unprobed cells, never from the
+    re-rank)."""
+    import random
+
+    from realdeal_spark.operators.similarity import ivf_knn
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_knn(df, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_knn(df, q, k=5, n_lists=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_knn_recall_and_candidate_subset(spark):
+    """Partial probing: results are a subset of each query's probed
+    cells, recall grows with nprobe, and on clustered data (where IVF's
+    geometry assumption holds) recall at nprobe=4/16 is high."""
+    import random
+
+    from realdeal_spark.operators.similarity import ivf_knn
+
+    rng = random.Random(13)
+    rows = []
+    # 10 tight clusters of 30 vectors each: cluster center ± small noise
+    for cl in range(10):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for j in range(30):
+            rows.append(
+                (cl * 30 + j, [x + rng.gauss(0, 0.05) for x in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id % 30 = 0")  # one query per cluster
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_knn(df, q, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_knn(df, q, k=5, n_lists=16, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.8, (r1, r4)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_knn(df, q, k=5, n_lists=8, nprobe=9)
+
+
+def test_kmeans_refine_matches_numpy_lloyd(spark):
+    """The distributed Lloyd step (posexplode → groupBy(cell,pos) avg)
+    must compute the same centroids as a numpy reference running the
+    same assignments on the same seeds, and must reduce quantization
+    error."""
+    import random
+
+    import numpy as np
+
+    from realdeal_spark.operators.similarity import (
+        ivf_seed_centroids,
+        kmeans_refine,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # seeds collected through the same float32->float64 cast as the engine
+    seeds = ivf_seed_centroids(df, 6)
+    got = kmeans_refine(df, seeds, n_iter=2)
+
+    X = np.array(
+        [r["embedding"] for r in df.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+
+    def assign(cents):
+        C = np.array([c for _, c in cents])
+        # cosine ranking with the engine's tie-break (cid asc)
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        return np.argmax(np.round(sims, 6), axis=1)  # argmax takes first max
+
+    cur = [list(c) for _, c in seeds]
+    cids = [cid for cid, _ in seeds]
+    for _ in range(2):
+        a = assign(list(zip(cids, cur)))
+        for ci in range(len(cur)):
+            members = X[a == ci]
+            if len(members):
+                cur[ci] = members.mean(axis=0).tolist()
+    want = np.array(cur)
+    got_arr = np.array([c for _, c in got])
+    assert np.allclose(got_arr, want, atol=1e-9), np.abs(got_arr - want).max()
+
+    # refinement reduces quantization error vs the raw seeds
+    def qerr(cents):
+        C = np.array([c for _, c in cents])
+        d = 1 - (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        return d.min(axis=1).mean()
+
+    assert qerr(got) <= qerr(seeds)

@@ -228,3 +228,22 @@ def test_lake_read_prunes_buckets(spark, tmp_path):
     n_files_pruned = sum(len(snap.files[str(b)]) for b in some)
     n_files_all = sum(len(fl) for fl in snap.files.values())
     assert n_files_pruned < n_files_all
+
+
+def test_ivf_knn_candidate_join_is_equi_and_assignment_shuffle_free(spark):
+    """IVF candidates must come from an equi-join on the cell id —
+    never a cartesian/nested-loop — and cell assignment must be a
+    map (centroid literals in-plan): the only Exchanges allowed are
+    the broadcast of the exploded query side and the final per-query
+    window rank."""
+    import random
+
+    from realdeal_spark.operators.similarity import ivf_knn
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    p = plan(ivf_knn(df, df.where("vec_id < 4"), k=3, n_lists=8, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # query side broadcast, equi on list_id
