@@ -730,7 +730,7 @@ class LakeTable:
         version: int,
         schema_version: int,
         mor: bool = False,
-        sort_by: list[str] | None = None,
+        sort_by: list | None = None,  # str names or Column sort expressions
     ) -> dict[str, list[dict[str, Any]]]:
         """Write a dataframe (with ``_bucket`` col) as one delta dir.
 
@@ -1151,6 +1151,8 @@ class LakeTable:
         self,
         max_files_per_bucket: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> Snapshot | None:
         """Rewrite buckets whose file count exceeds the target.
 
@@ -1173,7 +1175,17 @@ class LakeTable:
         skipping the snapshot manifest already provides.  Pass ``[]``
         to keep the unsorted rewrite.  Compaction is the right place
         to pay the sort: it is already a full rewrite of the bucket,
-        and the O(changes) MERGE path stays sort-free."""
+        and the O(changes) MERGE path stays sort-free.
+
+        ``zorder_by`` — multi-column clustering instead of a linear
+        sort (Delta ``OPTIMIZE ZORDER BY`` / Iceberg z-order rewrite
+        analogue): rows are written in Morton order of the columns'
+        equi-depth ranks (``lake/zorder.py``), so row groups stay
+        tight in *every* listed dimension and a pushed parquet
+        predicate on any of them prunes row groups — a linear sort
+        only ever prunes on its leading column.  Costs one extra
+        sampling pass (``approxQuantile``) over the rewritten buckets;
+        overrides ``sort_by``."""
         snap = self.snapshot()
         if sort_by is None:
             sort_by = list(snap.order_columns or [])
@@ -1185,6 +1197,11 @@ class LakeTable:
         if not fat:
             return None
         df = self.read(buckets=fat, with_bucket=True, include_deleted=True)
+        if zorder_by:
+            from realdeal_spark.lake.zorder import zorder_boundaries, zorder_expr
+
+            bounds = zorder_boundaries(df, zorder_by, bits=zorder_bits)
+            sort_by = [zorder_expr(zorder_by, bounds, bits=zorder_bits)]
         return self.replace_buckets(
             df,
             fat,

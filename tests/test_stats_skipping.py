@@ -247,3 +247,135 @@ def test_cow_merge_writes_sorted_buckets(spark, tmp_path):
                 zip(tbl.column("warc_ts").to_pylist(), tbl.column("lsn").to_pylist())
             )
             assert keys == sorted(keys), f"unsorted CoW rewrite {fe['path']}"
+
+
+# --------------------------------------------------------------------- zorder
+
+
+def test_zorder_expr_matches_python_morton(spark):
+    """zorder_expr must produce the Morton interleave of the columns'
+    equi-depth ranks — checked against a pure-python reference on a
+    small grid, including nulls (rank 0, sorts first)."""
+    from realdeal_spark.lake.zorder import zorder_expr
+
+    rows = [(i, float(i % 4), float(i // 4)) for i in range(16)] + [(16, None, 1.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    bounds = {"x": [0.0, 1.0, 2.0], "y": [0.0, 1.0, 2.0]}
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_expr(["x", "y"], bounds, bits=2).alias("z")
+        ).collect()
+    }
+
+    def rank(v, cuts):
+        return 0 if v is None else sum(1 for c in cuts if v > c)
+
+    def morton(rx, ry, bits=2):
+        z = 0
+        for b in range(bits):
+            z |= ((rx >> b) & 1) << (2 * b)
+            z |= ((ry >> b) & 1) << (2 * b + 1)
+        return z
+
+    for i, x, y in rows:
+        assert got[i] == morton(rank(x, bounds["x"]), rank(y, bounds["y"])), i
+
+
+def test_zorder_boundaries_validate_and_dedupe(spark):
+    import pytest
+
+    from realdeal_spark.lake.zorder import zorder_boundaries
+
+    df = spark.createDataFrame(
+        [(i, float(i % 2), "s") for i in range(100)],
+        "id bigint, lowcard double, s string",
+    )
+    with pytest.raises(ValueError, match="cannot z-order"):
+        zorder_boundaries(df, ["s"])
+    with pytest.raises(ValueError, match="no such column"):
+        zorder_boundaries(df, ["nope"])
+    b = zorder_boundaries(df, ["lowcard"], bits=4)
+    # only two distinct values -> cut list collapses after dedupe
+    assert len(b["lowcard"]) <= 2
+
+
+def test_compact_zorder_makes_both_dims_rowgroup_prunable(spark, tmp_path):
+    """The scale claim, measured from parquet footers: after
+    compact(zorder_by=[x, y]) every row group is tight in BOTH
+    dimensions (mean per-row-group span << full span), whereas a
+    linear sort_by=[x] leaves y unprunable (every row group spans
+    ~the full y range).  Rows and range-filtered reads are unchanged
+    by the rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "32768")  # force many row groups
+    try:
+        # a 200x200 grid: x and y genuinely independent (every y occurs
+        # under every x), unlike two linear-mod functions of i which
+        # would be bijectively correlated
+        rows = [(i, i % 200, i // 200) for i in range(40000)]
+        df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+
+        def coverage(table, col):
+            # only the files the CURRENT snapshot references — the
+            # pre-compaction deltas stay on disk until expire_snapshots
+            paths = [
+                os.path.join(table.root, fe["path"])
+                for fl in table.snapshot().files.values()
+                for fe in fl
+            ]
+            spans, total_lo, total_hi = [], None, None
+            if True:
+                for p in paths:
+                    md = pq.ParquetFile(p).metadata
+                    names = {
+                        md.row_group(0).column(ci).path_in_schema: ci
+                        for ci in range(md.row_group(0).num_columns)
+                    }
+                    ci = names[col]
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        spans.append((st.min, st.max))
+                        total_lo = st.min if total_lo is None else min(total_lo, st.min)
+                        total_hi = st.max if total_hi is None else max(total_hi, st.max)
+            full = max(total_hi - total_lo, 1)
+            assert len(spans) >= 8, f"want many row groups, got {len(spans)}"
+            return sum(hi - lo for lo, hi in spans) / (len(spans) * full)
+
+        # linear sort on x: x tight, y spans everything
+        lin = LakeTable.create(
+            spark, str(tmp_path / "lin"), "id bigint, x bigint, y bigint",
+            key_columns=["id"], order_columns=["id"], n_buckets=1,
+        )
+        lin.append(df)
+        lin.append(df.limit(1))  # second file so compact() has work
+        lin.compact(sort_by=["x"])
+        assert coverage(lin, "x") < 0.3
+        assert coverage(lin, "y") > 0.7
+
+        zt = LakeTable.create(
+            spark, str(tmp_path / "z"), "id bigint, x bigint, y bigint",
+            key_columns=["id"], order_columns=["id"], n_buckets=1,
+        )
+        zt.append(df)
+        zt.append(df.limit(1))
+        zt.compact(zorder_by=["x", "y"])
+        cx, cy = coverage(zt, "x"), coverage(zt, "y")
+        assert cx < 0.5 and cy < 0.5, (cx, cy)
+
+        # semantics unchanged: same latest-state rows, range reads agree
+        want = {r["id"]: (r["x"], r["y"]) for r in lin.read().collect()}
+        got = {r["id"]: (r["x"], r["y"]) for r in zt.read().collect()}
+        assert got == want
+        flt = {(r["id"]) for r in zt.read(range_filters={"y": (100, 120)}).collect()}
+        assert flt == {i for i, x, y in rows if 100 <= y <= 120}
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
