@@ -305,6 +305,19 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_suppress_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change suppression (streaming/suppress.py): per user in
+    (ts, event_id) order, keep only events whose event_type differs
+    from the user's previous event — the batch (pure-Catalyst lag)
+    form of the stateful applyInPandasWithState operator that culls
+    no-op recrawls upstream of MERGE.  Oracle: the same lag() in
+    DuckDB with IS DISTINCT FROM null-safety."""
+    from realdeal_spark.streaming import suppress_unchanged
+
+    ev = _t(spark, sf_dir, "events")
+    return suppress_unchanged(ev, ["user_id"], ["ts", "event_id"], "event_type")
+
+
 def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes feed (the Iceberg changelog-scan shape):
     replay epoch 1, snapshot; replay epoch 2; ``read_changes`` between
@@ -1776,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_find_new": q_cdc_find_new,
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         "cdc_read_changes": q_cdc_read_changes,
+        "cdc_suppress_unchanged": q_cdc_suppress_unchanged,
         "lake_range_scan": q_lake_range_scan,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
@@ -1861,6 +1875,17 @@ select r.user_id, r.ts, cast(r.event_id as double) as event_id,
        case when r.event_id > mx.m then r.event_type end as etype
 from ranked r, mx
 where r.rn = 1 and r.op <> 'delete'
+""",
+        "cdc_suppress_unchanged": """
+with w as (
+  select *,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn
+  from events)
+select event_id, ts, user_id, event_type, value, props
+from w where rn = 1 or (event_type is distinct from prev)
 """,
         "cdc_read_changes": f"""
 with mx as (select max(event_id) // 2 as m from events),

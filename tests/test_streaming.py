@@ -477,3 +477,76 @@ def test_session_rollup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from sessroll").collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- suppress_unchanged
+
+
+def _susp_rows():
+    # user 1: A A B B A  -> emit ts 0 (A), 2 (B), 4 (A)  (A->B->A re-emits!)
+    # user 2: A A A      -> emit ts 0 only
+    # user 3 fp nulls: None None A None -> emit 0, 2, 3
+    return [
+        (0, 1, "A"), (1, 1, "A"), (2, 1, "B"), (3, 1, "B"), (4, 1, "A"),
+        (0, 2, "A"), (1, 2, "A"), (2, 2, "A"),
+        (0, 3, None), (1, 3, None), (2, 3, "A"), (3, 3, None),
+    ]
+
+
+_SUSP_WANT = {(1, 0), (1, 2), (1, 4), (2, 0), (3, 0), (3, 2), (3, 3)}
+
+
+def _susp_df(spark, rows):
+    return spark.createDataFrame(
+        [(t, u, fp) for t, u, fp in rows], "seq bigint, user_id bigint, fp string"
+    )
+
+
+def test_suppress_unchanged_batch(spark):
+    from realdeal_spark.streaming import suppress_unchanged
+
+    out = suppress_unchanged(
+        _susp_df(spark, _susp_rows()), ["user_id"], ["seq"], "fp"
+    )
+    assert {(r["user_id"], r["seq"]) for r in out.collect()} == _SUSP_WANT
+    assert out.columns == ["seq", "user_id", "fp"]  # schema preserved
+
+
+def test_suppress_unchanged_stream_matches_batch(spark, tmp_path):
+    """The stateful stream path over 3 micro-batches must equal the
+    batch lag() answer — in particular a duplicate arriving in a LATER
+    micro-batch must be suppressed (state crosses batch boundaries)
+    and an A->B->A flip must re-emit (previous-value dedup, not
+    set-membership dedup)."""
+    from realdeal_spark.streaming import suppress_unchanged
+
+    rows = _susp_rows()
+    src = tmp_path / "susp_src"
+    # split by seq so micro-batches cut across every user's run:
+    # batch 0 = seq 0..1, batch 1 = seq 2..3, batch 2 = seq 4
+    for part, pred in enumerate([lambda s: s <= 1, lambda s: 2 <= s <= 3,
+                                 lambda s: s >= 4]):
+        _susp_df(spark, [r for r in rows if pred(r[0])]).write.parquet(
+            str(src / f"p{part}")
+        )
+    stream = (
+        spark.readStream.schema("seq bigint, user_id bigint, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    out = suppress_unchanged(stream, ["user_id"], ["seq"], "fp",
+                             state_ttl_ms=600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("susp_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "susp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["seq"])
+        for r in spark.sql("select * from susp_out").collect()
+    }
+    assert got == _SUSP_WANT
