@@ -34,6 +34,14 @@ downstream (MERGE's order-tuple protection discards it) but counted
 against exactness, which is why the batch path, not the stream path,
 is the oracle.
 
+Semantic trade, stated plainly: MERGE's ``unchanged`` action still
+*advances the stored order tuple* (the table records "last seen at"
+even when content is identical — lake/merge.py:200-203), so
+suppressing those events upstream means the stored ``warc_ts``/``lsn``
+stay at the first sighting of the current content version.  Use this
+operator when the table's contract is (key, content-version) history;
+skip it when last-seen recency stamping is load-bearing.
+
 State bound: one string per key, plus an optional processing-time TTL
 (``state_ttl_ms``).  An expired key's next event always passes through —
 a false *pass*, never a false suppress, so correctness degrades to

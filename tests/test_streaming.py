@@ -550,3 +550,52 @@ def test_suppress_unchanged_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from susp_out").collect()
     }
     assert got == _SUSP_WANT
+
+
+def test_suppress_chained_into_streaming_applier(spark, tmp_path):
+    """suppress_unchanged composes in front of StreamingCdcApplier on
+    the same checkpoint: recrawl no-ops never reach MERGE (events_in
+    drops), final payload state is the content-version history, and
+    the stored order tuple is the FIRST sighting of each content
+    version (the documented recency-stamping trade)."""
+    import datetime as dt
+
+    from realdeal_spark.streaming import suppress_unchanged
+
+    def ts(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+    SCHEMA = (
+        "lsn bigint, op string, url string, warc_ts timestamp_ntz, "
+        "html binary, lang string, fp string"
+    )
+    batches = [
+        [(0, "upsert", "u1", ts(0), b"A", "en", "A"),
+         (1, "upsert", "u2", ts(0), b"X", "en", "X")],
+        [(2, "upsert", "u1", ts(1), b"A", "en", "A"),  # recrawl, suppressed
+         (3, "upsert", "u2", ts(1), b"Y", "en", "Y")],
+        [(4, "upsert", "u1", ts(2), b"B", "en", "B"),
+         (5, "upsert", "u2", ts(2), b"Y", "en", "Y")],  # recrawl, suppressed
+    ]
+    src = tmp_path / "chain_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).write.parquet(str(src / f"p{i}"))
+
+    table = _mk_table(spark, tmp_path, name="chained")
+    applier = StreamingCdcApplier(
+        table, name="chain", transform=lambda df: df.drop("fp")
+    )
+    stream = StreamingCdcApplier.file_source(spark, f"{src}/p*", SCHEMA)
+    sup = suppress_unchanged(stream, ["url"], ["warc_ts", "lsn"], "fp")
+    q = applier.start(sup, str(tmp_path / "chain_ckpt"))
+    q.awaitTermination(120)
+
+    state = {
+        r["url"]: (bytes(r["html"]), r["lsn"]) for r in table.read().collect()
+    }
+    # content-version history: latest distinct content per key, stamped
+    # at its FIRST sighting (u2's Y arrived at lsn 3; the lsn-5 recrawl
+    # was suppressed)
+    assert state == {"u1": (b"B", 4), "u2": (b"Y", 3)}
+    # only 4 of the 6 events reached the applier
+    assert sum(r.events_in for r in applier.reports) == 4
