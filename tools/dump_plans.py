@@ -212,6 +212,55 @@ def main() -> None:
         )
     )
 
+    # round 3: IVF ANN — map-only cell assignment, equi-join candidates
+    from realdeal_spark.operators.similarity import ivf_knn
+
+    sections.append(
+        (
+            "IVF ANN (map-only cell assignment + equi-join candidates)",
+            "Cell assignment is a Project (centroid literals folded "
+            "in-plan — no join, no exchange on the corpus side); the "
+            "candidate join is a BroadcastHashJoin on the long cell id "
+            "with the nprobe-exploded query side broadcast; the only "
+            "corpus shuffle is the final per-query window rank.",
+            ivf_knn(emb, emb.where("vec_id < 4"), k=5, n_lists=8, nprobe=2),
+        )
+    )
+
+    # round 3: z-order sort expression — rank + interleave, pure Project
+    from realdeal_spark.lake.zorder import zorder_boundaries, zorder_expr
+
+    zsrc = ev.select("event_id", "user_id", "value")
+    zb = zorder_boundaries(zsrc, ["user_id", "value"], bits=4)
+    sections.append(
+        (
+            "Z-order clustering value (compaction write sort key)",
+            "The Morton code is one Project over the scan — equi-depth "
+            "rank folds (cut-point literals) + bit interleave, no join, "
+            "no exchange; compaction sorts within already-partitioned "
+            "buckets so z-ordering adds zero shuffles to the rewrite.",
+            zsrc.select(
+                "event_id",
+                zorder_expr(["user_id", "value"], zb, bits=4).alias("z"),
+            ),
+        )
+    )
+
+    # round 3: change suppression (batch form) — lag window, one shuffle
+    from realdeal_spark.streaming.suppress import suppress_unchanged
+
+    sections.append(
+        (
+            "Change suppression (batch lag form)",
+            "One hash-partitioned exchange on the key feeds both lag() "
+            "and row_number() in a single Window node; the filter drops "
+            "no-op recrawls before they ever reach conflation/MERGE.  "
+            "The streaming twin holds one fingerprint string per key in "
+            "the state store (applyInPandasWithState).",
+            suppress_unchanged(ev, ["user_id"], ["ts", "event_id"], "event_type"),
+        )
+    )
+
     out = [
         "# EXPLAIN — physical plans of the core operators",
         "",
