@@ -318,6 +318,32 @@ def q_cdc_suppress_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suppress_unchanged(ev, ["user_id"], ["ts", "event_id"], "event_type")
 
 
+def q_cdc_quarantine_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (cdc/quarantine.py): deterministically
+    corrupt the event feed (bogus/null op, null key, null order), then
+    return the quarantined rows with their reasons.  Reason precedence
+    (unknown op → null key → null order) is part of the contract; the
+    oracle mirrors the same CASE chain."""
+    from realdeal_spark.cdc.quarantine import split_quarantine
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.when(F.col("event_id") % 17 == 5, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(F.col("event_id") % 19 == 11, F.lit(None))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        "event_id",
+        F.when(F.col("event_id") % 13 == 3, F.lit("bogus"))
+        .when(F.col("event_id") % 13 == 7, F.lit(None))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+    )
+    _good, bad = split_quarantine(log, ["user_id"], ["ts", "event_id"])
+    return bad.select("event_id", F.col("_reason").alias("reason"))
+
+
 def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes feed (the Iceberg changelog-scan shape):
     replay epoch 1, snapshot; replay epoch 2; ``read_changes`` between
@@ -1790,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         "cdc_read_changes": q_cdc_read_changes,
         "cdc_suppress_unchanged": q_cdc_suppress_unchanged,
+        "cdc_quarantine_route": q_cdc_quarantine_route,
         "lake_range_scan": q_lake_range_scan,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
@@ -1875,6 +1902,25 @@ select r.user_id, r.ts, cast(r.event_id as double) as event_id,
        case when r.event_id > mx.m then r.event_type end as etype
 from ranked r, mx
 where r.rn = 1 and r.op <> 'delete'
+""",
+        "cdc_quarantine_route": """
+with log as (
+  select case when event_id % 17 = 5 then null else user_id end as user_id,
+         case when event_id % 19 = 11 then null else ts end as ts,
+         event_id,
+         case when event_id % 13 = 3 then 'bogus'
+              when event_id % 13 = 7 then null
+              else 'insert' end as op
+  from events)
+select event_id,
+       case when op is null or op not in ('insert','update','delete')
+              then 'unknown_op'
+            when user_id is null then 'null_key:user_id'
+            when ts is null then 'null_order:ts'
+       end as reason
+from log
+where (op is null or op not in ('insert','update','delete'))
+   or user_id is null or ts is null
 """,
         "cdc_suppress_unchanged": """
 with w as (

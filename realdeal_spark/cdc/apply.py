@@ -53,6 +53,7 @@ class EpochReport:
     rewritten_buckets: list[int] = field(default_factory=list)
     wall_ms: float = 0.0
     skipped: bool = False
+    quarantined: int = 0
 
     @property
     def events_per_sec(self) -> float:
@@ -114,9 +115,11 @@ class CdcApplier:
         compact_max_files: int = 4,
         report_sink: Callable[[EpochReport], None] | None = None,
         salt_buckets: int | None = None,
+        quarantine_dir: str | None = None,
     ):
         self.table = table
         self.lsn_col = lsn_col
+        self.quarantine_dir = quarantine_dir
         self.transform = transform
         self.column_merge = column_merge
         self.conflate_strategy = conflate_strategy
@@ -187,6 +190,21 @@ class CdcApplier:
         batch = events.where(
             (F.col(self.lsn_col) >= lsn_start) & (F.col(self.lsn_col) <= lsn_end)
         )
+        n_quarantined = 0
+        if self.quarantine_dir:
+            # dead-letter route: bad rows (unknown op / null key / null
+            # order) to parquet under <dir>/<epoch_id>, good rows flow
+            # on.  Runs before conflation so a null-order row can never
+            # silently vanish in the light path.
+            from realdeal_spark.cdc.quarantine import (
+                split_quarantine,
+                write_quarantine,
+            )
+
+            batch, bad = split_quarantine(
+                batch, snap.key_columns, snap.order_columns
+            )
+            n_quarantined = write_quarantine(bad, self.quarantine_dir, epoch_id)
         # events_in rides the merge job as an Observation instead of a
         # dedicated count() — at scale that saves one full scan of the
         # batch per epoch.  The light conflation references the batch
@@ -271,6 +289,7 @@ class CdcApplier:
                 touched_buckets=res.touched_buckets,
                 rewritten_buckets=res.rewritten_buckets,
                 wall_ms=(time.monotonic() - t0) * 1000,
+                quarantined=n_quarantined,
             )
         )
 

@@ -61,9 +61,11 @@ class StreamingCdcApplier:
         renames: dict[str, str] | None = None,
         merge_mode: str = "cow",
         report_sink: Callable[[EpochReport], None] | None = None,
+        quarantine_dir: str | None = None,
     ):
         self.table = table
         self.name = name
+        self.quarantine_dir = quarantine_dir
         self.transform = transform
         self.column_merge = column_merge
         self.conflate_strategy = conflate_strategy
@@ -87,6 +89,20 @@ class StreamingCdcApplier:
             self.batch_results.append((batch_id, None))  # replay → skip
             self._report(batch_id, epoch_id, None, 0, t0, skipped=True)
             return None
+        n_quarantined = 0
+        if self.quarantine_dir:
+            # dead-letter route, same as the batch applier: bad rows to
+            # parquet under <dir>/<epoch_id> (overwrite → idempotent on
+            # batchId replay), good rows flow on.
+            from realdeal_spark.cdc.quarantine import (
+                split_quarantine,
+                write_quarantine,
+            )
+
+            batch_df, bad = split_quarantine(
+                batch_df, snap.key_columns, snap.order_columns
+            )
+            n_quarantined = write_quarantine(bad, self.quarantine_dir, epoch_id)
         # strategy + winner-broadcast admission shared with CdcApplier
         # (cdc.admission): a huge first/backfill micro-batch through
         # auto→light must NOT broadcast an over-cap winner set — the
@@ -131,7 +147,7 @@ class StreamingCdcApplier:
             except Exception:
                 n_in = 0  # empty batch: observed node emitted nothing
         self.batch_results.append((batch_id, res))
-        self._report(batch_id, epoch_id, res, n_in, t0)
+        self._report(batch_id, epoch_id, res, n_in, t0, quarantined=n_quarantined)
         return res
 
     def _report(
@@ -142,6 +158,7 @@ class StreamingCdcApplier:
         n_in: int,
         t0: float,
         skipped: bool = False,
+        quarantined: int = 0,
     ) -> None:
         """Per-micro-batch lineage/metrics record (S12 on the streaming
         path): same EpochReport shape as the batch applier, with the
@@ -166,6 +183,7 @@ class StreamingCdcApplier:
             rewritten_buckets=res.rewritten_buckets if res else [],
             wall_ms=(time.monotonic() - t0) * 1000,
             skipped=skipped,
+            quarantined=quarantined,
         )
         self.reports.append(r)
         if self.report_sink is not None:

@@ -72,7 +72,11 @@ def suppress_unchanged(
     input schema.
 
     ``state_ttl_ms`` (streaming only): evict a key's state after that
-    many milliseconds of processing time without events."""
+    many milliseconds of processing time without events.  Use it on
+    continuously-triggered queries; on an ``availableNow`` drain leave
+    it unset — ProcessingTimeTimeout makes the drain keep scheduling
+    empty micro-batches until every pending timer fires, so a drain
+    that should end in 3 batches runs for the TTL duration instead."""
     keys = list(keys)
     order_cols = list(order_cols)
     if not df.isStreaming:

@@ -524,9 +524,14 @@ def test_suppress_unchanged_stream_matches_batch(spark, tmp_path):
     src = tmp_path / "susp_src"
     # split by seq so micro-batches cut across every user's run:
     # batch 0 = seq 0..1, batch 1 = seq 2..3, batch 2 = seq 4
+    # one file per directory (coalesce(1)) so maxFilesPerTrigger=1
+    # yields exactly these three micro-batches in seq order — a multi-
+    # part write would split a batch across triggers in arbitrary file
+    # order and violate the operator's documented per-key monotone-
+    # arrival contract (observed: user 2's seq-1 file before seq-0)
     for part, pred in enumerate([lambda s: s <= 1, lambda s: 2 <= s <= 3,
                                  lambda s: s >= 4]):
-        _susp_df(spark, [r for r in rows if pred(r[0])]).write.parquet(
+        _susp_df(spark, [r for r in rows if pred(r[0])]).coalesce(1).write.parquet(
             str(src / f"p{part}")
         )
     stream = (
@@ -534,8 +539,11 @@ def test_suppress_unchanged_stream_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/p*")
     )
-    out = suppress_unchanged(stream, ["user_id"], ["seq"], "fp",
-                             state_ttl_ms=600_000)
+    # NOTE: no state TTL here — ProcessingTimeTimeout makes the
+    # availableNow drain keep scheduling empty batches until pending
+    # timers fire (observed: 40+ no-data epochs, drain > 300 s), so the
+    # TTL belongs to continuously-triggered deployments, not drains
+    out = suppress_unchanged(stream, ["user_id"], ["seq"], "fp")
     q = (
         out.writeStream.format("memory")
         .queryName("susp_out")
@@ -544,7 +552,10 @@ def test_suppress_unchanged_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # generous bound: 3 micro-batches each spin an Arrow python worker,
+    # slow under full-suite contention — and assert the drain finished
+    # (a partial memory table would fail the compare confusingly)
+    assert q.awaitTermination(300), "availableNow drain did not finish"
     got = {
         (r["user_id"], r["seq"])
         for r in spark.sql("select * from susp_out").collect()
@@ -579,7 +590,10 @@ def test_suppress_chained_into_streaming_applier(spark, tmp_path):
     ]
     src = tmp_path / "chain_src"
     for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, SCHEMA).write.parquet(str(src / f"p{i}"))
+        # coalesce(1): one file per micro-batch, deterministic order
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"p{i}")
+        )
 
     table = _mk_table(spark, tmp_path, name="chained")
     applier = StreamingCdcApplier(
@@ -588,7 +602,7 @@ def test_suppress_chained_into_streaming_applier(spark, tmp_path):
     stream = StreamingCdcApplier.file_source(spark, f"{src}/p*", SCHEMA)
     sup = suppress_unchanged(stream, ["url"], ["warc_ts", "lsn"], "fp")
     q = applier.start(sup, str(tmp_path / "chain_ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "availableNow drain did not finish"
 
     state = {
         r["url"]: (bytes(r["html"]), r["lsn"]) for r in table.read().collect()
