@@ -371,8 +371,12 @@ class LakeTable:
         with_bucket: bool = False,
         include_deleted: bool = False,
         range_filters: dict[str, tuple[Any, Any]] | None = None,
+        snapshot: Snapshot | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to buckets.
+        ``snapshot`` overrides ``version`` with an explicit Snapshot
+        object (used by :meth:`read_staged` for not-yet-published
+        state).
 
         Bucket pruning is the scale lever: a MERGE whose source batch
         hashes into k of N buckets scans only those buckets' files.
@@ -406,7 +410,7 @@ class LakeTable:
         filter row-level after the reconcile — always-correct, and
         ``compact()`` restores skippability.
         """
-        snap = self.snapshot(version)
+        snap = snapshot if snapshot is not None else self.snapshot(version)
         cur = self._schema_version(snap, snap.current_schema)
         want = {str(b) for b in buckets} if buckets is not None else None
         enc_filters = {
@@ -790,7 +794,12 @@ class LakeTable:
                     files.setdefault(b, []).append(entry)
         return files
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        stage: str | None = None,
+    ) -> Snapshot:
         """Plain append (no key semantics) — used for initial loads.
 
         Order columns are validated non-null (the check rides the
@@ -800,7 +809,13 @@ class LakeTable:
         equality semi join never matches them), so a null-order row
         appended today would silently vanish from reads the moment
         its bucket gains a MoR delta.  Fail loudly at the write
-        instead."""
+        instead.
+
+        ``stage`` — write-audit-publish (Iceberg WAP analogue): commit
+        the snapshot under ``_meta/staged-<name>.json`` instead of the
+        version chain.  Readers of the table never see it; audit with
+        :meth:`read_staged`, then :meth:`publish_staged` (rebase-aware)
+        or :meth:`abort_staged`."""
         from pyspark.sql import Observation
 
         snap = self.snapshot()
@@ -852,6 +867,8 @@ class LakeTable:
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b, fl in new_files.items():
             files.setdefault(b, []).extend(fl)
+        op = "stage-append" if stage else "append"
+        extra_summary = {"staged": stage} if stage else {}
         out = Snapshot(
             version=new_version,
             parent=snap.version,
@@ -861,12 +878,103 @@ class LakeTable:
             key_columns=snap.key_columns,
             order_columns=snap.order_columns,
             files=files,
-            summary={"operation": "append", **(summary or {})},
+            summary={"operation": op, **extra_summary, **(summary or {})},
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
         )
-        self._commit(out)
+        if stage:
+            self._commit_staged(out, stage)
+        else:
+            self._commit(out)
         return out
+
+    # ------------------------------------------------- write-audit-publish
+
+    def _staged_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid staged name: {name!r}")
+        return os.path.join(self._meta_dir(), f"staged-{name}.json")
+
+    def _commit_staged(self, snap: Snapshot, name: str) -> None:
+        """Create-only commit of a staged snapshot (same hard-link CAS
+        as the version chain, so two writers cannot stage one name)."""
+        path = self._staged_path(name)
+        tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"staged snapshot {name!r} already exists at {self.root}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def staged_names(self) -> list[str]:
+        return sorted(
+            n[len("staged-"):-len(".json")]
+            for n in os.listdir(self._meta_dir())
+            if n.startswith("staged-") and n.endswith(".json")
+        )
+
+    def staged_snapshot(self, name: str) -> Snapshot:
+        try:
+            with open(self._staged_path(name)) as f:
+                return Snapshot.from_json(f.read())
+        except FileNotFoundError:
+            raise KeyError(f"no staged snapshot {name!r} at {self.root}") from None
+
+    def read_staged(self, name: str, **read_kwargs) -> DataFrame:
+        """Audit view of a staged snapshot (table-as-if-published)."""
+        return self.read(snapshot=self.staged_snapshot(name), **read_kwargs)
+
+    def publish_staged(self, name: str, max_retries: int = 5) -> Snapshot:
+        """Promote a staged append into the version chain.
+
+        The staged snapshot's *additions* (files present in it but not
+        in its parent) are committed via
+        :meth:`commit_file_additions`, which rebases over any
+        commuting commits that landed since staging (compactions, or
+        writes to disjoint buckets) and raises :class:`CommitConflict`
+        otherwise.  Semantics after a rebase are exactly those of
+        running the same ``append`` now — ``append`` carries no key
+        reconciliation, so additions commute wherever appends do."""
+        st = self.staged_snapshot(name)
+        if st.parent is None:
+            raise CommitConflict(f"staged {name!r} has no parent snapshot")
+        try:
+            base = self.snapshot(st.parent)
+        except FileNotFoundError:
+            raise CommitConflict(
+                f"cannot publish {name!r}: base snapshot v{st.parent} "
+                f"expired at {self.root}"
+            ) from None
+        additions: dict[str, list[dict[str, Any]]] = {}
+        for b, fl in st.files.items():
+            old = {fe["path"] for fe in base.files.get(b, [])}
+            new = [fe for fe in fl if fe["path"] not in old]
+            if new:
+                additions[b] = new
+        out = self.commit_file_additions(
+            base,
+            st.version,
+            additions,
+            summary={"operation": "publish-staged", "staged": name},
+            max_retries=max_retries,
+        )
+        os.unlink(self._staged_path(name))
+        return out
+
+    def abort_staged(self, name: str) -> None:
+        """Drop a staged snapshot; its data files become orphans that
+        the next :meth:`expire_snapshots` sweeps."""
+        path = self._staged_path(name)
+        if not os.path.exists(path):
+            raise KeyError(f"no staged snapshot {name!r} at {self.root}")
+        os.unlink(path)
 
     def replace_buckets(
         self,
@@ -1290,6 +1398,11 @@ class LakeTable:
         for v in keep:
             snap = self.snapshot(v)
             for fl in snap.files.values():
+                referenced.update(fe["path"] for fe in fl)
+        # live staged snapshots pin their files too — aborting a stage
+        # (unlinking its json) is what releases them to this sweep
+        for name in self.staged_names():
+            for fl in self.staged_snapshot(name).files.values():
                 referenced.update(fe["path"] for fe in fl)
         files_removed = 0
         data_root = os.path.join(self.root, _DATA)
