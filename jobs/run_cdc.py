@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> dict:
                     help="with mor: fold deltas into base every N epochs")
     ap.add_argument("--report-dir", default=None,
                     help="write per-epoch JSONL + HTML report artifacts here")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="dead-letter dir: route unknown-op / null-key / "
+                         "null-order events to per-epoch parquet instead "
+                         "of applying or failing")
     args = ap.parse_args(argv)
 
     spark = get_spark(
@@ -117,7 +121,7 @@ def main(argv: list[str] | None = None) -> dict:
         table, lsn_col="lsn", transform=transform,
         conflate_strategy=args.conflate, merge_mode=args.merge_mode,
         compact_every=args.compact_every, report_sink=report_sink,
-        salt_buckets=args.salt_buckets,
+        salt_buckets=args.salt_buckets, quarantine_dir=args.quarantine_dir,
     )
 
     bounds = (0, args.synthetic_events - 1) if args.synthetic_events else None
@@ -132,6 +136,7 @@ def main(argv: list[str] | None = None) -> dict:
     applied = sum(r.events_in for r in reports)
     summary = {
         "events": applied,
+        "quarantined": sum(r.quarantined for r in reports),
         "epochs": len(reports),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(applied / wall, 1) if wall else 0.0,
