@@ -1262,6 +1262,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (operators/sampling.py): membership
+    is a pure function of (salt, doc_id) via md5, so the sample is
+    identical on any engine / partitioning — the reproducible-curation
+    primitive df.sample() cannot provide.  Oracle replays the same
+    conv(substr(md5)) arithmetic."""
+    from realdeal_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.05, id_col="doc_id").select("doc_id", "lang")
+
+
+def q_curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document budget via hash-ranked stratified
+    sampling: at most 20 docs per lang, chosen layout-independently."""
+    from realdeal_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, 20, ["lang"], id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -1858,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
         # similarity search
+        "curate_sample_hash": q_curate_sample_hash,
+        "curate_sample_stratified": q_curate_sample_stratified,
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
@@ -2144,6 +2169,21 @@ from s6 group by 1
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2
         ),
+        "curate_sample_hash": """
+select doc_id, lang from documents
+where ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+      % 1000000 < 50000
+""",
+        "curate_sample_stratified": """
+with h as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang
+           order by ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+                    % 1000000 asc, doc_id asc) as hr
+  from documents)
+select doc_id, lang from h where hr <= 20
+""",
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),
         "knn_lsh_multiprobe": _knn_multiprobe_sql(5),

@@ -1,0 +1,86 @@
+"""Deterministic, reproducible sampling for training-data curation.
+
+`df.sample()` is seed-dependent *per partition layout*: the same seed
+over the same data returns different rows if the file splits change —
+useless for a curation pipeline that must be re-runnable bit-for-bit
+at 100 TB and auditable afterwards.  These operators derive the
+sampling decision from a hash of the row's own id, so membership is a
+pure function of the data:
+
+- :func:`hash_sample` — keep a deterministic ~fraction of rows:
+  ``md5(salt || id) mod D < D·fraction``.  Same row set on any
+  cluster, any partitioning, any engine (md5 is bit-identical across
+  Spark / DuckDB / Python — the same trick the text fingerprint and
+  LSH planes use).  Changing ``salt`` draws an independent sample;
+  fractions are exact in expectation and hash-uniform in realization.
+- :func:`stratified_sample` — cap each stratum (e.g. language) at
+  ``per_stratum`` rows, choosing *which* rows by hash rank so the
+  selection is again layout-independent: ``row_number() over
+  (partition by stratum order by md5(salt || id), id)``.
+
+Scale shape: ``hash_sample`` is a pure map-side filter (pushes to the
+scan, no shuffle); ``stratified_sample`` is one hash-partitioned
+window per stratum — the same shape as top-k-per-key, with the usual
+skew caveat (a giant stratum concentrates in one partition; cap
+strata sizes upstream or pre-filter with :func:`hash_sample` first,
+which is the documented two-step for web-scale corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-space denominator: md5's first 15 hex digits, taken mod this.
+#: 10^6 gives ppm-resolution fractions while staying far from the
+#: 60-bit hash range (no modulo bias worth measuring).
+_DENOM = 1_000_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform int in [0, _DENOM) from md5(salt || id) — the same
+    conv(substr(md5 ...)) construction the oracle replays in SQL."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % _DENOM
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``id_col``.
+
+    Membership is a pure function of (salt, id): re-runs, other
+    engines, and other partitionings select the identical rows.
+    Disjoint salts give independent samples; the same salt with a
+    larger fraction gives a superset (nested samples — grow a training
+    set without resampling what you already curated)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _DENOM)
+    return df.where(_hash_bucket(F.col(id_col), salt) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    per_stratum: int,
+    stratum_cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """At most ``per_stratum`` rows per distinct ``stratum_cols``
+    tuple, selected by hash rank (deterministic, layout-independent,
+    id tiebreak).  The balanced-corpus primitive: equal per-language
+    document budgets regardless of raw-language skew."""
+    if per_stratum < 1:
+        raise ValueError(f"per_stratum must be >= 1, got {per_stratum}")
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        _hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_hr", F.row_number().over(w))
+        .where(F.col("_hr") <= per_stratum)
+        .drop("_hr")
+    )

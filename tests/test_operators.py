@@ -378,3 +378,43 @@ def test_kmeans_refine_matches_numpy_lloyd(spark):
         return d.min(axis=1).mean()
 
     assert qerr(got) <= qerr(seeds)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """Membership is a pure function of (salt, id): invariant under
+    repartitioning, nested across fractions (bigger fraction with the
+    same salt is a superset), independent across salts."""
+    from realdeal_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s5 = {r["doc_id"] for r in hash_sample(df, 0.05).collect()}
+    s5_again = {
+        r["doc_id"] for r in hash_sample(df.repartition(13), 0.05).collect()
+    }
+    assert s5 == s5_again and s5
+    # ~5% with hash-uniform tolerance
+    assert 0.03 < len(s5) / 5000 < 0.07
+    s20 = {r["doc_id"] for r in hash_sample(df, 0.20).collect()}
+    assert s5 <= s20  # nested growth
+    other = {r["doc_id"] for r in hash_sample(df, 0.05, salt="v2").collect()}
+    assert other != s5  # independent draw
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, 1.5)
+
+
+def test_stratified_sample_caps_and_is_layout_independent(spark):
+    from realdeal_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3] if i % 10 else "rare") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample(df, 15, ["lang"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert all(len(v) <= 15 for v in by_lang.values())
+    assert len(by_lang["en"]) == 15 and len(by_lang["rare"]) == 15
+    out2 = stratified_sample(df.repartition(7), 15, ["lang"]).collect()
+    assert {(r["doc_id"]) for r in out2} == {(r["doc_id"]) for r in out}
