@@ -1262,6 +1262,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/dedup.py contaminated_ids):
+    ids ≡ 0 (mod 7) of the doubled corpus play the benchmark; because
+    the perturbed copy sits at +100000 and 100000 ≡ 5 (mod 7), every
+    benchmark doc's case/whitespace variant (shingles normalize equal)
+    lands in the corpus as planted contamination that MUST be flagged.
+    Flags carry the distinct-shingle hit count.  Benchmark shingles
+    broadcast; the corpus never shuffles."""
+    from realdeal_spark.operators.dedup import contaminated_ids
+
+    d = _doubled_corpus(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return contaminated_ids(corpus, bench, shingle_n=5)
+
+
 def q_curate_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (operators/sampling.py): membership
     is a pure function of (salt, doc_id) via md5, so the sample is
@@ -1881,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
         # similarity search
+        "text_decontaminate": q_text_decontaminate,
         "curate_sample_hash": q_curate_sample_hash,
         "curate_sample_stratified": q_curate_sample_stratified,
         "knn_brute_force": q_knn_brute_force,
@@ -2169,6 +2186,19 @@ from s6 group by 1
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2
         ),
+        "text_decontaminate": f"""
+with corpus as ({_DOUBLED_SQL}),
+sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform({_shingle_sql(5)},
+                s -> {_H48.format(x="s")}))) as s
+  from corpus),
+bench as (select distinct s from sh where doc_id % 7 = 0)
+select c.doc_id, count(*) as n_hits
+from sh c join bench b on c.s = b.s
+where c.doc_id % 7 <> 0
+group by c.doc_id
+""",
         "curate_sample_hash": """
 select doc_id, lang from documents
 where ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint

@@ -506,3 +506,56 @@ def embedding_neardup_pairs_bucketed(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: corpus documents sharing at least
+    ``min_hits`` distinct ``shingle_n``-gram shingles with ANY
+    benchmark document.  The canonical pre-training hygiene pass
+    (n-gram overlap against eval sets); run it before training and
+    drop the flagged ids.
+
+    Output: (``id_col``, ``n_hits``) — n_hits = how many distinct
+    shingles of the document also occur in the benchmark (evidence
+    strength, useful for auditing threshold choices).
+
+    Scale shape: both sides shingle → 48-bit hashes (the same
+    portable md5 hash as the jaccard index, so the oracle replays
+    it); the benchmark's distinct-shingle set is usually tiny
+    relative to the corpus — ``broadcast_benchmark=True`` makes the
+    probe a broadcast semi-join and the corpus is NEVER shuffled
+    (flag off for benchmark sets beyond broadcast size: the same
+    equi-join runs shuffled, still on 8-byte keys).  Raising
+    ``shingle_n`` lowers false positives (an 8-gram collision is
+    essentially always true contamination); ``min_hits`` filters
+    boilerplate overlaps.
+    """
+    def hashed_shingles(df: DataFrame):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles_expr(text_col, shingle_n), _hash64)
+                )
+            ).alias("sh"),
+        )
+
+    bench_sh = hashed_shingles(benchmark).select("sh").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        hashed_shingles(corpus)
+        .join(bench_sh, on="sh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits.select(F.col("_id").alias(id_col), "n_hits")

@@ -418,3 +418,48 @@ def test_stratified_sample_caps_and_is_layout_independent(spark):
     assert len(by_lang["en"]) == 15 and len(by_lang["rare"]) == 15
     out2 = stratified_sample(df.repartition(7), 15, ["lang"]).collect()
     assert {(r["doc_id"]) for r in out2} == {(r["doc_id"]) for r in out}
+
+
+def test_decontaminate_flags_exact_and_variant_overlaps(spark):
+    from realdeal_spark.operators.dedup import contaminated_ids
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy → contaminated
+            (1, "intro words the quick brown fox jumps over the lazy dog tonight"),
+            # case/whitespace variant → shingles normalize equal → flagged
+            (2, "THE  QUICK  BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT"),
+            # clean document
+            (3, "completely different content with no overlap at all here ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in
+           contaminated_ids(corpus, bench, shingle_n=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] >= 1 and out[2] >= 1
+    # min_hits raises the evidence bar
+    strict = {r["doc_id"] for r in
+              contaminated_ids(corpus, bench, shingle_n=5, min_hits=3).collect()}
+    assert strict <= {1, 2}
+
+
+def test_decontaminate_corpus_is_never_shuffled_before_probe(spark):
+    """With broadcast_benchmark=True the probe must be a
+    BroadcastHashJoin — the corpus side reaches the join without an
+    Exchange (the only shuffle is the per-doc hit count)."""
+    from realdeal_spark.operators.dedup import contaminated_ids
+    from tests.test_plans import plan
+
+    corpus = spark.createDataFrame(
+        [(i, f"document body number {i} with several words") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    bench = corpus.where("doc_id < 3")
+    p = plan(contaminated_ids(corpus, bench, shingle_n=3))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
