@@ -1262,6 +1262,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (extract/textstats.py): dup
+    3-gram fraction + dup non-empty-line fraction, pure array
+    expressions.  Repetition is planted deterministically — ids ≡ 0
+    (mod 4) get the doc repeated on a second line (dup lines AND dup
+    grams), ids ≡ 1 get the text doubled inline (dup grams only) — so
+    both signals discriminate and the oracle replays the same
+    derivation."""
+    d = _t(spark, sf_dir, "documents")
+    text2 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat_ws("\n", "text", "text"))
+        .when(F.col("doc_id") % 4 == 1, F.concat_ws(" ", "text", "text"))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        TS.dup_ngram_fraction_expr(text2, 3).alias("dup3_frac"),
+        TS.dup_line_fraction_expr(text2).alias("dupline_frac"),
+    )
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (operators/dedup.py contaminated_ids):
     ids ≡ 0 (mod 7) of the doubled corpus play the benchmark; because
@@ -1897,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
         # similarity search
+        "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "curate_sample_hash": q_curate_sample_hash,
         "curate_sample_stratified": q_curate_sample_stratified,
@@ -2186,6 +2208,35 @@ from s6 group by 1
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2
         ),
+        "text_repetition": """
+with t2 as (
+  select doc_id,
+         case when doc_id % 4 = 0 then text || chr(10) || text
+              when doc_id % 4 = 1 then text || ' ' || text
+              else text end as text
+  from documents),
+toks as (
+  select doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') as tk
+  from t2),
+grams as (
+  select doc_id, text, tk,
+         list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                        i -> array_to_string(tk[i:i+2], ' ')) as g
+  from toks),
+lines as (
+  select doc_id, g, len(tk) as ntk,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') as ln
+  from grams)
+select doc_id,
+       case when ntk < 3 then 0.0
+            else round(1.0 - len(list_distinct(g))::double / len(g), 6)
+       end as dup3_frac,
+       case when len(ln) <= 1 then 0.0
+            else round(1.0 - len(list_distinct(ln))::double / len(ln), 6)
+       end as dupline_frac
+from lines
+""",
         "text_decontaminate": f"""
 with corpus as ({_DOUBLED_SQL}),
 sh as (

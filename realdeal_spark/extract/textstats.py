@@ -121,3 +121,48 @@ def fingerprint_expr(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+
+
+def dup_ngram_fraction_expr(col: str | Column, n: int = 3) -> Column:
+    """Within-document repetition: fraction of token n-grams that are
+    duplicates of an earlier n-gram (Gopher-rule family — high values
+    flag boilerplate loops, keyword stuffing, decode garbage).
+
+    ``1 - distinct(ngrams)/count(ngrams)`` over the whitespace tokens,
+    entirely array expressions (no explode, no shuffle, no UDF);
+    rounded to 6dp for cross-engine hashing.  Docs shorter than ``n``
+    tokens score 0.0.
+
+    DuckDB oracle: the same arithmetic over
+    ``list_transform(generate_series(...), i -> array_to_string(
+    toks[i:i+n-1], ' '))`` with ``list_distinct``.
+    """
+    toks = tokens_expr(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    total = F.size(grams)
+    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+        )
+    )
+
+
+def dup_line_fraction_expr(col: str | Column) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line
+    (the C4/Gopher duplicate-line rule; scrapes with repeated nav
+    blocks score high).  0.0 for texts with <= 1 non-empty line.
+
+    DuckDB oracle: same arithmetic over
+    ``list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.split(c, r"\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    total = F.size(lines)
+    return F.when(total <= 1, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / total.cast("double"), 6
+        )
+    )

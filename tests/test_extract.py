@@ -89,3 +89,33 @@ def test_textstats_exprs(spark):
     # fingerprint is stable + distinct across texts
     fps = [r["fp"] for r in out if r["fp"] is not None]
     assert len(set(fps)) == len(fps)
+
+
+def test_repetition_fractions(spark):
+    """Gopher-rule repetition signals against hand-computed values."""
+    from realdeal_spark.extract.textstats import (
+        dup_line_fraction_expr,
+        dup_ngram_fraction_expr,
+    )
+
+    rows = [
+        (1, "a b c a b c"),          # grams: abc bca cab abc -> 1 dup of 4
+        (2, "one two three four"),   # no repetition
+        (3, "x\ny\nx\n\n"),          # lines x,y,x -> 1 dup of 3
+        (4, "ab"),                   # < n tokens -> 0.0
+        (5, ""),                     # empty -> 0.0 both
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["g"], r["l"])
+        for r in df.select(
+            "doc_id",
+            dup_ngram_fraction_expr("text", 3).alias("g"),
+            dup_line_fraction_expr("text").alias("l"),
+        ).collect()
+    }
+    assert out[1][0] == 0.25
+    assert out[2] == (0.0, 0.0)
+    assert abs(out[3][1] - (1 - 2 / 3)) < 1e-6
+    assert out[4] == (0.0, 0.0)
+    assert out[5] == (0.0, 0.0)
