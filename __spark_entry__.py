@@ -1262,6 +1262,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation pipeline end-to-end, one declarative plan:
+    repetition filter (planted mod-4 boilerplate dropped) → quality
+    filter → deterministic hash sample (50%) → stratified per-language
+    balance (≤30 docs/lang) → token stats.  Every stage is an engine
+    operator with its own oracle; this query proves they COMPOSE —
+    Catalyst fuses the filters into the scan, the sample is a map-side
+    filter, and the only shuffle is the per-language window."""
+    from realdeal_spark.operators.sampling import hash_sample, stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    text2 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat_ws("\n", "text", "text"))
+        .when(F.col("doc_id") % 4 == 1, F.concat_ws(" ", "text", "text"))
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", "lang", text2.alias("text"))
+    kept = base.where(
+        (TS.dup_ngram_fraction_expr("text", 3) < 0.05)
+        & (TS.quality_score_expr("text") >= 0.3)
+    )
+    sampled = hash_sample(kept, 0.5, id_col="doc_id")
+    balanced = stratified_sample(sampled, 30, ["lang"], id_col="doc_id")
+    return balanced.select(
+        "doc_id", "lang", TS.token_count_expr("text").alias("n_tokens")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition signals (extract/textstats.py): dup
     3-gram fraction + dup non-empty-line fraction, pure array
@@ -1918,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "pipeline_curate": q_pipeline_curate,
         # similarity search
+        "pipeline_curate_v2": q_pipeline_curate_v2,
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "curate_sample_hash": q_curate_sample_hash,
@@ -2208,6 +2237,52 @@ from s6 group by 1
         "dedup_embedding_bucketed": _cosine_pairs_bucketed_sql(
             0.5, n_planes=4, n_tables=2
         ),
+        "pipeline_curate_v2": f"""
+with t2 as (
+  select doc_id, lang,
+         case when doc_id % 4 = 0 then text || chr(10) || text
+              when doc_id % 4 = 1 then text || ' ' || text
+              else text end as text
+  from documents),
+tk as (
+  select doc_id, lang, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') as tk2
+  from t2),
+g as (
+  select doc_id, lang, text, tk2,
+         list_transform(generate_series(1, greatest(len(tk2) - 2, 1)),
+                        i -> array_to_string(tk2[i:i+2], ' ')) as g3
+  from tk),
+repf as (
+  select doc_id, lang, text from g
+  where (case when len(tk2) < 3 then 0.0
+              else round(1.0 - len(list_distinct(g3))::double / len(g3), 6)
+         end) < 0.05),
+q as (
+  select doc_id, lang,
+         len({_TOKS_SQL}) as tc,
+         cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+              as double) / greatest(length(text), 1) as pr,
+         cast(len(list_filter({_TOKS_SQL}, t -> list_contains([{_STOP_EN}], t)))
+              as double) / greatest(len({_TOKS_SQL}), 1) as sr
+  from repf),
+qf as (
+  select doc_id, lang, tc from q
+  where round(0.4 * least(cast(tc as double) / 100.0, 1.0)
+            + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+            + 0.3 * least(sr * 5.0, 1.0), 6) >= 0.3),
+samp as (
+  select * from qf
+  where ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+        % 1000000 < 500000),
+bal as (
+  select *, row_number() over (
+    partition by lang
+    order by ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+             % 1000000 asc, doc_id asc) as hr
+  from samp)
+select doc_id, lang, cast(tc as int) as n_tokens from bal where hr <= 30
+""",
         "text_repetition": """
 with t2 as (
   select doc_id,

@@ -65,6 +65,11 @@ HEADLINE = HEADLINE_R1 + [
     "dedup_clusters",
     "text_redact_pii",
     "web_domain_rollup",
+    # round-3 session additions: inverted-file ANN is in knn_ivf above;
+    # decontamination (shingle both sides + broadcast probe) and the
+    # change-suppression lag window are the two with real weight
+    "text_decontaminate",
+    "cdc_suppress_unchanged",
 ]
 
 
