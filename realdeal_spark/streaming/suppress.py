@@ -28,11 +28,12 @@ Semantics contract: per-key **monotone arrival** across micro-batches
 (each batch's events for a key are newer than the previous batch's) —
 the same contract the CDC appliers already place on the binlog
 source.  Within a batch, order is restored by sorting; across
-batches, an out-of-order straggler is compared against the newer
-fingerprint and may pass through as a spurious "change" — harmless
-downstream (MERGE's order-tuple protection discards it) but counted
-against exactness, which is why the batch path, not the stream path,
-is the oracle.
+batches, the state remembers the last order tuple (typed fields, not
+strings) and a straggler older than it is passed through WITHOUT
+updating state — suppression can only err toward emitting (false
+pass; MERGE re-classifies downstream), never toward dropping a
+change, which is why the batch path, not the stream path, is the
+oracle.
 
 Semantic trade, stated plainly: MERGE's ``unchanged`` action still
 *advances the stored order tuple* (the table records "last seen at"
@@ -91,10 +92,18 @@ def suppress_unchanged(
         return out
 
     out_schema = df.schema
+    # the state carries the last-seen order tuple in its REAL column
+    # types (not stringified — "9" > "10" bites), so a cross-batch
+    # straggler older than the state is detectable
+    ord_fields = [
+        T.StructField(f"ord_{i}", df.schema[c].dataType)
+        for i, c in enumerate(order_cols)
+    ]
     state_schema = T.StructType(
         [
             T.StructField("last_fp", T.StringType()),
             T.StructField("fp_is_null", T.BooleanType()),
+            *ord_fields,
         ]
     )
     col_names = [f.name for f in out_schema.fields]
@@ -115,13 +124,22 @@ def suppress_unchanged(
             return
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         if state.exists:
-            last_fp, fp_null = state.get
+            got = state.get
+            last_fp, fp_null, last_ord = got[0], got[1], tuple(got[2:])
             has_prev = True
         else:
-            last_fp, fp_null, has_prev = None, True, False
-        raw = pdf[fingerprint_col]
+            last_fp, fp_null, last_ord, has_prev = None, True, None, False
         keep = []
-        for v in raw:
+        for _, row in pdf.iterrows():
+            row_ord = tuple(row[c] for c in order_cols)
+            if has_prev and last_ord is not None and row_ord < last_ord:
+                # cross-batch straggler older than the state: we cannot
+                # know the fingerprint it truly followed, so PASS it
+                # through without touching state — a false pass (MERGE
+                # re-classifies downstream), never a false suppress.
+                keep.append(True)
+                continue
+            v = row[fingerprint_col]
             is_null = pd.isna(v)
             fp = None if is_null else str(v)
             changed = (
@@ -130,8 +148,8 @@ def suppress_unchanged(
                 or (not is_null and fp != last_fp)
             )
             keep.append(changed)
-            last_fp, fp_null, has_prev = fp, is_null, True
-        state.update((last_fp, fp_null))
+            last_fp, fp_null, last_ord, has_prev = fp, is_null, row_ord, True
+        state.update((last_fp, fp_null, *(last_ord or (None,) * len(order_cols))))
         if state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)
         emitted = pdf[pd.Series(keep, index=pdf.index)]

@@ -613,3 +613,46 @@ def test_suppress_chained_into_streaming_applier(spark, tmp_path):
     assert state == {"u1": (b"B", 4), "u2": (b"Y", 3)}
     # only 4 of the 6 events reached the applier
     assert sum(r.events_in for r in applier.reports) == 4
+
+
+def test_suppress_out_of_order_straggler_passes_through(spark, tmp_path):
+    """A micro-batch older than the state (late file) must PASS its
+    rows through untouched — never suppress against a fingerprint from
+    the future — and must not regress the state: a newer duplicate
+    after the stragglers still dedups against the pre-straggler
+    fingerprint.  (False pass only; the batch lag() result stays a
+    subset of the stream emissions.)"""
+    from realdeal_spark.streaming import suppress_unchanged
+
+    batches = [
+        [(2, 1, "A"), (3, 1, "A")],   # arrives first: emit 2, suppress 3
+        [(0, 1, "A"), (1, 1, "A")],   # stragglers: both pass through
+        [(4, 1, "A")],                # newer dup: suppressed vs state A@3
+    ]
+    src = tmp_path / "ooo_src"
+    for i, rows in enumerate(batches):
+        _susp_df(spark, rows).coalesce(1).write.parquet(str(src / f"p{i}"))
+    stream = (
+        spark.readStream.schema("seq bigint, user_id bigint, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    out = suppress_unchanged(stream, ["user_id"], ["seq"], "fp")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ooo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow drain did not finish"
+    got = {r["seq"] for r in spark.sql("select * from ooo_out").collect()}
+    assert got == {2, 0, 1}, got  # 3 suppressed in-batch, 4 vs state
+    # batch oracle over the complete data is a subset of the stream
+    full = _susp_df(spark, [r for b in batches for r in b])
+    batch = {
+        r["seq"]
+        for r in suppress_unchanged(full, ["user_id"], ["seq"], "fp").collect()
+    }
+    assert batch <= got
