@@ -1386,6 +1386,26 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_knn(e, queries, k=5, n_lists=16, nprobe=4)
 
 
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF roundtrip (similarity.py build_ivf_index /
+    ivf_knn_indexed): build the inverted file on disk (cells
+    partitioned by list_id), answer from it with the probed cells
+    arriving as a pushed partition filter.  Must equal the ad-hoc
+    ivf_knn answer — the oracle is the same SQL."""
+    import tempfile
+
+    from realdeal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_indexed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="rds_ivf_")
+    build_ivf_index(e, idx, n_lists=16)
+    queries = e.where(F.col("vec_id") < 5)
+    return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant + multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1955,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_indexed": q_knn_ivf_indexed,
         # extraction + multimodal plumbing
         "extract_html_text": q_extract_html_text,
         "multimodal_meta": q_multimodal_meta,
@@ -2344,6 +2365,7 @@ select doc_id, lang from h where hr <= 20
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),
         "knn_lsh_multiprobe": _knn_multiprobe_sql(5),
         "knn_ivf": _knn_ivf_sql(5),
+        "knn_ivf_indexed": _knn_ivf_sql(5),
         "extract_html_text": """
 select doc_id,
        trim(regexp_replace(text, '[ \\t\\r\\f\\x0b]+', ' ', 'g')) as text_out

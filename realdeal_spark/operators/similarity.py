@@ -464,3 +464,129 @@ def ivf_knn(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_lists: int = 16,
+    kmeans_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Materialize an IVF index: cell assignments as parquet bucketed
+    by ``list_id`` plus a centroid sidecar (JSON).
+
+    :func:`ivf_knn` re-assigns the whole corpus on every call — fine
+    for one-shot jobs, wasteful for a query service.  This writes
+    ``(vec_id, embedding, list_id)`` partitioned by ``list_id`` once;
+    :func:`ivf_knn_indexed` then scans ONLY the probed cells' files
+    (partition pruning on the ``list_id=N`` dirs — the inverted-file
+    property made physical), so per-query cost is
+    O(corpus × nprobe / n_lists) instead of O(corpus).
+
+    ``kmeans_iters > 0`` refines the deterministic seeds with
+    distributed Lloyd before assigning.  Returns the centroid list
+    (also persisted to ``<index_dir>/centroids.json``)."""
+    import json
+    import os
+
+    centroids = ivf_seed_centroids(corpus, n_lists, vec_col, id_col)
+    if kmeans_iters:
+        centroids = kmeans_refine(
+            corpus, centroids, n_iter=kmeans_iters, vec_col=vec_col, id_col=id_col
+        )
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        .withColumn("_nv", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .withColumn(
+            "list_id",
+            F.element_at(
+                _cell_ranking_expr(F.col("embedding"), centroids, F.col("_nv")), 1
+            )["cid"],
+        )
+        .drop("_nv")
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    meta = {
+        "n_lists": len(centroids),
+        "centroids": [[cid, cv] for cid, cv in centroids],
+    }
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_knn_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index (see :func:`build_ivf_index`).
+
+    The probed cells arrive as a pushed ``list_id IN (...)`` partition
+    filter, so the scan reads only nprobe of n_lists directories —
+    check ``.explain``: PartitionFilters carries the IN list.  Query
+    cell ranking happens driver-side against the sidecar centroids
+    (a few float ops per query row is NOT worth a Spark job); the
+    candidate join and re-rank are the same plan as :func:`ivf_knn`.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    centroids = [(int(cid), [float(x) for x in cv]) for cid, cv in meta["centroids"]]
+    if nprobe < 1 or nprobe > len(centroids):
+        raise ValueError(f"nprobe={nprobe} out of range 1..{len(centroids)}")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_nq", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _cell_ranking_expr(F.col("_qv"), centroids, F.col("_nq")),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .drop("_nq")
+    )
+    probed = [r["list_id"] for r in q.select("list_id").distinct().collect()]
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).where(
+        F.col("list_id").isin(probed)
+    )
+    scored = (
+        cells.withColumnRenamed("embedding", "_cv")
+        .join(F.broadcast(q), on="list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

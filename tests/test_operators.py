@@ -463,3 +463,57 @@ def test_decontaminate_corpus_is_never_shuffled_before_probe(spark):
     p = plan(contaminated_ids(corpus, bench, shingle_n=3))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_index_build_query_matches_unindexed_and_prunes(spark, tmp_path):
+    """The persisted IVF index returns exactly the ad-hoc ivf_knn
+    result (same centroids, same ranking) while scanning only the
+    probed cells' files — partition pruning made physical."""
+    import random
+
+    from realdeal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        ivf_knn_indexed,
+        ivf_seed_centroids,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id < 8")
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(df, idx, n_lists=8)
+    assert meta["n_lists"] == 8
+
+    out = ivf_knn_indexed(spark, idx, q, k=4, nprobe=2)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_knn(
+            df, q, k=4, n_lists=8, nprobe=2,
+            centroids=ivf_seed_centroids(df, 8),
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in out.collect()
+    }
+    assert got == want
+
+    # partition pruning: the probed list ids arrive as a partition
+    # filter on the list_id= directories (inputFiles() ignores
+    # partition filters, so assert on the physical plan instead)
+    one = ivf_knn_indexed(spark, idx, df.where("vec_id = 0"), k=3, nprobe=1)
+    from tests.test_plans import plan
+
+    p = plan(one)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id", p)
+    assert m, "probed-cell filter not pushed to the partition scan"
+
+    # kmeans-refined build still answers (recall sanity only)
+    idx2 = str(tmp_path / "ivf2")
+    build_ivf_index(df, idx2, n_lists=8, kmeans_iters=1)
+    assert ivf_knn_indexed(spark, idx2, q, k=4, nprobe=8).count() == 32
