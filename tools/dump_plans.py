@@ -261,6 +261,41 @@ def main() -> None:
         )
     )
 
+    # round 3: persisted IVF — probed cells as a partition filter
+    import tempfile
+
+    from realdeal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_indexed,
+    )
+
+    idxdir = tempfile.mkdtemp(prefix="rds_plan_ivf_")
+    build_ivf_index(emb, idxdir, n_lists=8)
+    sections.append(
+        (
+            "Persisted IVF query (partition-pruned cell scan)",
+            "The probed cell ids arrive as PartitionFilters on the "
+            "list_id= directories — the scan reads nprobe of n_lists "
+            "cells, never the whole index; assignment cost was paid "
+            "once at build.",
+            ivf_knn_indexed(spark, idxdir, emb.where("vec_id < 3"), k=3, nprobe=2),
+        )
+    )
+
+    # round 3: composed curation pipeline — fused filters, one window
+    import __spark_entry__ as E
+
+    sections.append(
+        (
+            "Curation pipeline v2 (composed: repetition → quality → sample → balance)",
+            "All three filters (repetition, quality, hash-sample) fuse "
+            "into the document scan's WholeStageCodegen; the stratified "
+            "balance is the single hash exchange (per-language window). "
+            "Four operators, one shuffle.",
+            E.q_pipeline_curate_v2(spark, SF),
+        )
+    )
+
     out = [
         "# EXPLAIN — physical plans of the core operators",
         "",
