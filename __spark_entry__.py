@@ -1350,6 +1350,19 @@ def q_curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (operators/sampling.py): fill each
+    language up to 2000 TOKENS (the unit training runs specify) in
+    deterministic hash order — a cumulative-sum window, same shuffle
+    shape as the rank sampler.  Oracle replays the running sum."""
+    from realdeal_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TS.token_count_expr("text").alias("n_tokens")
+    )
+    return token_budget_sample(d, 2000, ["lang"], "n_tokens", id_col="doc_id")
+
+
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -1971,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "curate_sample_hash": q_curate_sample_hash,
         "curate_sample_stratified": q_curate_sample_stratified,
+        "curate_token_budget": q_curate_token_budget,
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
@@ -2360,6 +2374,19 @@ with h as (
                     % 1000000 asc, doc_id asc) as hr
   from documents)
 select doc_id, lang from h where hr <= 20
+""",
+        "curate_token_budget": f"""
+with tk as (
+  select doc_id, lang, cast(len({_TOKS_SQL}) as int) as n_tokens
+  from documents),
+c as (
+  select *, sum(n_tokens) over (
+    partition by lang
+    order by ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+             % 1000000 asc, doc_id asc
+    rows between unbounded preceding and current row) as cum
+  from tk)
+select doc_id, lang, n_tokens from c where cum <= 2000
 """,
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),

@@ -84,3 +84,36 @@ def stratified_sample(
         .where(F.col("_hr") <= per_stratum)
         .drop("_hr")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    stratum_cols: list[str],
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Fill each stratum up to a TOKEN budget, not a document count —
+    the unit training runs are actually specified in.
+
+    Documents are taken in hash order (deterministic,
+    layout-independent, same ordering as :func:`stratified_sample`)
+    while the running token total stays ≤ ``budget``; the first
+    document that would overflow the budget stops the stratum (and a
+    single document larger than the whole budget is skipped with the
+    rest, by the same rule).  One window per stratum — the cumulative
+    sum rides the identical shuffle the rank-based sampler uses.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    w = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

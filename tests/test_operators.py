@@ -517,3 +517,27 @@ def test_ivf_index_build_query_matches_unindexed_and_prunes(spark, tmp_path):
     idx2 = str(tmp_path / "ivf2")
     build_ivf_index(df, idx2, n_lists=8, kmeans_iters=1)
     assert ivf_knn_indexed(spark, idx2, q, k=4, nprobe=8).count() == 32
+
+
+def test_token_budget_sample_prefix_and_determinism(spark):
+    from realdeal_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "en" if i % 2 else "de", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens int")
+    out = token_budget_sample(df, 100, ["lang"], "n_tokens")
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["lang"], []).append(r["n_tokens"])
+    # every stratum total within budget, and adding any kept doc's
+    # successor would overflow (the selection is a maximal hash-prefix)
+    assert per and all(sum(v) <= 100 for v in per.values())
+    assert all(sum(v) > 100 - 17 for v in per.values())  # near-full fill
+    out2 = token_budget_sample(df.repartition(9), 100, ["lang"], "n_tokens")
+    assert {r["doc_id"] for r in out2.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_sample(df, 0, ["lang"], "n_tokens")
