@@ -35,7 +35,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realdeal_spark.cdc.apply import CdcApplier
@@ -1363,6 +1363,36 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(d, 2000, ["lang"], "n_tokens", id_col="doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection: inside each near-duplicate cluster
+    keep the HIGHEST-QUALITY member (curation keeps the best copy,
+    not the lowest id) — clusters from the jaccard pair graph, one
+    quality join, one per-cluster window.  Oracle: the recursive
+    closure + the quality formula + the same argmax."""
+    from realdeal_spark.operators.graph import duplicate_clusters
+
+    c = _doubled_corpus(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(
+        c, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=20
+    )
+    clusters = duplicate_clusters(pairs)
+    q = c.select(
+        F.col("doc_id").alias("id"), TS.quality_score_expr("text").alias("quality")
+    )
+    j = clusters.join(q, on="id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("keep_id"),
+            "cluster_size",
+            "quality",
+        )
+    )
+
+
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -1985,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample_hash": q_curate_sample_hash,
         "curate_sample_stratified": q_curate_sample_stratified,
         "curate_token_budget": q_curate_token_budget,
+        "dedup_keep_best": q_dedup_keep_best,
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
@@ -2374,6 +2405,40 @@ with h as (
                     % 1000000 asc, doc_id asc) as hr
   from documents)
 select doc_id, lang from h where hr <= 20
+""",
+        "dedup_keep_best": f"""
+with recursive pairs as ({_jaccard_sql(3, 0.8, max_df=20)}),
+edges as (
+  select id_a as a, id_b as b from pairs
+  union
+  select id_b as a, id_a as b from pairs
+),
+nodes as (select distinct a as id from edges),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select w.id, e.b from reach w join edges e on e.a = w.r
+),
+comp as (select id, min(r) as cluster_id from reach group by id),
+sizes as (select cluster_id, count(*) as n from comp group by cluster_id),
+corpus2 as ({_DOUBLED_SQL}),
+q as (
+  select doc_id as id,
+         round(0.4 * least(cast(len({_TOKS_SQL}) as double) / 100.0, 1.0)
+             + 0.3 * (1.0 - least(cast(length(text) - length(regexp_replace(text,
+                   '[^a-zA-Z0-9\\s]', '', 'g')) as double)
+                   / greatest(length(text), 1) * 5.0, 1.0))
+             + 0.3 * least(cast(len(list_filter({_TOKS_SQL},
+                   t -> list_contains([{_STOP_EN}], t))) as double)
+                   / greatest(len({_TOKS_SQL}), 1) * 5.0, 1.0), 6) as quality
+  from corpus2),
+ranked as (
+  select c.cluster_id, c.id, s.n as cluster_size, q.quality,
+         row_number() over (partition by c.cluster_id
+                            order by q.quality desc, c.id asc) as rn
+  from comp c join sizes s using (cluster_id) join q on q.id = c.id)
+select cluster_id, id as keep_id, cluster_size, quality
+from ranked where rn = 1
 """,
         "curate_token_budget": f"""
 with tk as (
