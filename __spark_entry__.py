@@ -1369,7 +1369,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the lowest id) — clusters from the jaccard pair graph, one
     quality join, one per-cluster window.  Oracle: the recursive
     closure + the quality formula + the same argmax."""
-    from realdeal_spark.operators.graph import duplicate_clusters
+    from realdeal_spark.operators.graph import (
+        duplicate_clusters,
+        keep_best_representatives,
+    )
 
     c = _doubled_corpus(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(
@@ -1379,18 +1382,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c.select(
         F.col("doc_id").alias("id"), TS.quality_score_expr("text").alias("quality")
     )
-    j = clusters.join(q, on="id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("id"))
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("id").alias("keep_id"),
-            "cluster_size",
-            "quality",
-        )
-    )
+    return keep_best_representatives(clusters, q)
 
 
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,3 +156,40 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def keep_best_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick each cluster's representative by SCORE, not by id.
+
+    ``clusters`` is :func:`duplicate_clusters` output
+    (id, cluster_id, cluster_size); ``scores`` maps ``id_col`` →
+    ``score_col``.  Returns one row per cluster:
+    (cluster_id, keep_id, cluster_size, <score_col>), the member with
+    the highest score (id ascending breaks ties deterministically).
+    Curation keeps the best copy of a duplicate group — smallest-id
+    representatives are only a stable label, not a quality choice.
+
+    One equi-join plus one per-cluster window; clusters are near-dup
+    groups (tiny), so the window partitions are inherently small —
+    no skew concern."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores, on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_id"),
+            "cluster_size",
+            score_col,
+        )
+    )

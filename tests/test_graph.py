@@ -74,3 +74,21 @@ def test_duplicate_clusters_shape(spark):
     assert rows == {
         1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)
     }
+
+
+def test_keep_best_representatives(spark):
+    """Representative = highest score, id tiebreak; one row per
+    cluster; score column name flows through."""
+    from realdeal_spark.operators.graph import keep_best_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)],
+        "id bigint, cluster_id bigint, cluster_size bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "id bigint, quality double",
+    )
+    out = {r["cluster_id"]: (r["keep_id"], r["quality"])
+           for r in keep_best_representatives(clusters, scores).collect()}
+    assert out == {1: (2, 0.9), 10: (10, 0.1)}  # tie -> lower id
