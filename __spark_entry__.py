@@ -1105,6 +1105,23 @@ def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the standard web-crawl anti-spam
+    curation rule (no single domain dominates the corpus): normalize
+    URLs, extract the domain, keep at most 6 docs per domain chosen
+    by deterministic hash rank (operators/sampling.py
+    stratified_sample over the domain stratum; 6 binds at the oracle
+    SF's 10 docs per synthetic domain, so the cap is exercised)."""
+    from realdeal_spark.extract.redact import domain_expr, normalize_url_expr
+    from realdeal_spark.operators.sampling import stratified_sample
+
+    u = _synth_url(spark, sf_dir)
+    d = u.select(
+        "doc_id", domain_expr(normalize_url_expr("url")).alias("domain")
+    )
+    return stratified_sample(d, 6, ["domain"], id_col="doc_id")
+
+
 def q_web_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain accounting over normalized URLs — the corpus-level
     composition (normalize → extract domain → groupBy)."""
@@ -1996,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "web_url_normalize": q_web_url_normalize,
         "web_domain_rollup": q_web_domain_rollup,
+        "web_domain_cap": q_web_domain_cap,
         "text_redact_pii": q_text_redact_pii,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
@@ -2284,6 +2302,17 @@ from ranked where rn = 1
 select doc_id, u as url_norm,
        regexp_extract(u, '^https?://([^/:?]+)', 1) as domain
 from s6
+""",
+        "web_domain_cap": _URL_NORM_SQL + """
+select doc_id, domain from (
+  select doc_id,
+         regexp_extract(u, '^https?://([^/:?]+)', 1) as domain,
+         row_number() over (
+           partition by regexp_extract(u, '^https?://([^/:?]+)', 1)
+           order by ('0x' || substr(md5('sample-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+                    % 1000000 asc, doc_id asc) as hr
+  from s6)
+where hr <= 6
 """,
         "web_domain_rollup": _URL_NORM_SQL + """
 select regexp_extract(u, '^https?://([^/:?]+)', 1) as domain,
