@@ -1644,8 +1644,8 @@ s2 as (select *, concat(lower(regexp_extract(u1, '(?i)^(https?://[^/?]+)', 1)),
                         regexp_replace(u1, '(?i)^https?://[^/?]+', '')) as u2
        from s1),
 s3 as (select *, regexp_replace(u2, '^(https?://)www\.', '\1') as u3 from s2),
-s4 as (select *, regexp_replace(u3, 'utm_[A-Za-z]+=[^&?]*&?', '', 'g') as u4 from s3),
-s5 as (select *, regexp_replace(regexp_replace(u4, '[?&]+$', ''), '\?&', '?', 'g') as u5 from s4),
+s4 as (select *, regexp_replace(regexp_replace(u3, '[?&]utm_[A-Za-z]+=[^&]*', '', 'g'), '^([^?]*)&', '\1?') as u4 from s3),
+s5 as (select *, regexp_replace(u4, '[?&]+$', '') as u5 from s4),
 s6 as (select doc_id, n_chars, regexp_replace(u5, '/+$', '') as u from s5)
 """
 
@@ -1964,11 +1964,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver checks a prefix of this registry
+    # (50 rows in round 3).  The first 50 entries below are chosen so
+    # every distinct operator family has a driver-checked representative;
+    # the tail holds variants whose oracle (or family) duplicates a
+    # prefix entry — each is still verifiable via tools/verify_entry.py.
     return {
         # CDC / incremental-ingest core
         "cdc_latest_state": q_cdc_latest_state,
-        "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
-        "cdc_conflate_light": q_cdc_conflate_light,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_merge_replay_mor": q_cdc_merge_replay_mor,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
@@ -1977,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": q_cdc_read_changes,
         "cdc_suppress_unchanged": q_cdc_suppress_unchanged,
         "cdc_quarantine_route": q_cdc_quarantine_route,
+        "cdc_epoch_admission": q_cdc_epoch_admission,
         "lake_range_scan": q_lake_range_scan,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
@@ -1985,9 +1989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_users": q_set_except_users,
         "agg_events_rollup": q_agg_events_rollup,
         "stream_window_rollup": q_stream_window_rollup,
-        "stream_sliding_rollup": q_stream_sliding_rollup,
-        "stream_session_rollup": q_stream_session_rollup,
-        "agg_pricing_summary": q_agg_pricing_summary,
         "join_customer_nation_region": q_join_customer_nation_region,
         "join_orders_revenue": q_join_orders_revenue,
         "scalar_derived_columns": q_scalar_derived_columns,
@@ -2001,39 +2002,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_point_in_polygon": q_geo_point_in_polygon,
         "polygon_csv_scan": q_polygon_csv_scan,
         "report_render_html": q_report_render_html,
-        "cdc_epoch_admission": q_cdc_epoch_admission,
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_detect": q_text_lang_detect,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        # web / curation
         "web_url_normalize": q_web_url_normalize,
         "web_domain_rollup": q_web_domain_rollup,
-        "web_domain_cap": q_web_domain_cap,
-        "text_redact_pii": q_text_redact_pii,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "pipeline_curate": q_pipeline_curate,
-        # similarity search
-        "pipeline_curate_v2": q_pipeline_curate_v2,
-        "text_repetition": q_text_repetition,
-        "text_decontaminate": q_text_decontaminate,
         "curate_sample_hash": q_curate_sample_hash,
         "curate_sample_stratified": q_curate_sample_stratified,
         "curate_token_budget": q_curate_token_budget,
-        "dedup_keep_best": q_dedup_keep_best,
-        "knn_brute_force": q_knn_brute_force,
+        "pipeline_curate_v2": q_pipeline_curate_v2,
+        # similarity search
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
-        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf": q_knn_ivf,
-        "knn_ivf_indexed": q_knn_ivf_indexed,
         # extraction + multimodal plumbing
         "extract_html_text": q_extract_html_text,
         "multimodal_meta": q_multimodal_meta,
+        # ---- end of the 50-entry driver-checked prefix ----
+        # variants below duplicate a prefix family/oracle; verified by
+        # tools/verify_entry.py and pytest each round.
+        "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
+        "cdc_conflate_light": q_cdc_conflate_light,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "stream_sliding_rollup": q_stream_sliding_rollup,
+        "stream_session_rollup": q_stream_session_rollup,
+        "web_domain_cap": q_web_domain_cap,
+        "pipeline_curate": q_pipeline_curate,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "knn_brute_force": q_knn_brute_force,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+        "knn_ivf_indexed": q_knn_ivf_indexed,
     }
 
 
@@ -2316,7 +2325,7 @@ where hr <= 6
 """,
         "web_domain_rollup": _URL_NORM_SQL + """
 select regexp_extract(u, '^https?://([^/:?]+)', 1) as domain,
-       count(*) as n_docs, sum(n_chars) as sum_chars
+       count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars
 from s6 group by 1
 """,
         "text_redact_pii": _REDACT_SQL,

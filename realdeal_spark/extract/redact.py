@@ -63,10 +63,14 @@ def normalize_url_expr(col: str | Column) -> Column:
     tail = F.regexp_replace(c, r"(?i)^https?://[^/?]+", "")
     c = F.concat(head, tail)
     c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")
-    # drop utm params wherever they sit, then mend separators
-    c = F.regexp_replace(c, r"utm_[A-Za-z]+=[^&?]*&?", "")
+    # drop utm params: anchored to a ?/& separator so a param merely
+    # *containing* "utm_" (?xutm_source=1) is untouched; each match
+    # consumes its OWN leading separator so consecutive utm params all
+    # fall in one global pass, then the first surviving '&' (if the
+    # '?' was consumed) is promoted back to '?'
+    c = F.regexp_replace(c, r"[?&]utm_[A-Za-z]+=[^&]*", "")
+    c = F.regexp_replace(c, r"^([^?]*)&", r"$1?")
     c = F.regexp_replace(c, r"[?&]+$", "")
-    c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"/+$", "")
     return c
 

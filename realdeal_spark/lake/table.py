@@ -423,16 +423,26 @@ class LakeTable:
 
         # group pruned file list by writer schema version
         by_sv: dict[int, list[str]] = {}
-        has_mor = False
-        for b, flist in snap.files.items():
-            if want is not None and b not in want:
-                continue
-            bucket_mor = any(bool(fe.get("mor")) for fe in flist)
-            has_mor = has_mor or bucket_mor
+        selected = [
+            (b, flist)
+            for b, flist in snap.files.items()
+            if want is None or b in want
+        ]
+        # The latest-per-key reconcile below runs over the WHOLE selected
+        # read when any selected bucket is MoR — so a winner row in a
+        # non-MoR bucket (plain appends can carry duplicate keys across
+        # file generations too) could be pruned by stats while an older
+        # in-range copy survives and resurrects.  File skipping is
+        # therefore only safe when the read needs no reconcile at all:
+        # has_mor false across every selected bucket.
+        has_mor = any(
+            bool(fe.get("mor")) for _, flist in selected for fe in flist
+        )
+        for b, flist in selected:
             for fe in flist:
                 if (
                     enc_filters
-                    and not bucket_mor
+                    and not has_mor
                     and _stats_disjoint(fe, enc_filters)
                 ):
                     continue
@@ -587,7 +597,11 @@ class LakeTable:
             for fe in fl:
                 if fe["path"] in old_paths:
                     continue
-                m = re.search(r"delta-(\d+)-", fe["path"])
+                # no trailing dash: legacy delta dirs written before the
+                # random-suffix rename (delta-000000001/...) must still
+                # yield their version as the generation, or carried
+                # copies tie at gen 0 and duplicate change rows.
+                m = re.search(r"delta-(\d+)", fe["path"])
                 gen = int(m.group(1)) if m else 0
                 groups.setdefault((gen, fe["schema_version"]), []).append(
                     os.path.join(self.root, fe["path"])

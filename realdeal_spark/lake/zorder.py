@@ -109,8 +109,20 @@ def zorder_expr(
 ) -> Column:
     """Morton code of the columns' equi-depth ranks — one long, built
     from shifts/ands on the rank ints; sort by it to z-cluster."""
-    ranks = [_rank_expr(F.col(c), boundaries[c]) for c in cols]
     n = len(cols)
+    if bits * n > 63:
+        # JVM shiftleft wraps the shift count mod 64, so bit positions
+        # ≥63 would silently corrupt the Morton code (63 is the sign
+        # bit).  Clamp the per-column bit depth so the code stays
+        # inside a positive long; clustering quality degrades
+        # gracefully instead of silently breaking.
+        bits = 63 // n
+        if bits < 1:
+            raise ValueError(
+                f"zorder_expr: {n} columns cannot share a 63-bit Morton "
+                "code; reduce the column list"
+            )
+    ranks = [_rank_expr(F.col(c), boundaries[c]) for c in cols]
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, r in enumerate(ranks):

@@ -19,11 +19,17 @@ pure function of the data:
   (partition by stratum order by md5(salt || id), id)``.
 
 Scale shape: ``hash_sample`` is a pure map-side filter (pushes to the
-scan, no shuffle); ``stratified_sample`` is one hash-partitioned
-window per stratum — the same shape as top-k-per-key, with the usual
-skew caveat (a giant stratum concentrates in one partition; cap
-strata sizes upstream or pre-filter with :func:`hash_sample` first,
-which is the documented two-step for web-scale corpora).
+scan, no shuffle).  ``stratified_sample`` and
+:func:`token_budget_sample` are built on a two-phase hash-rank prefix
+(``salt_shards``, on by default): phase 1 ranks within (stratum,
+shard) so a giant stratum — one language being 50% of the web — is
+spread over ``salt_shards`` reducers instead of serializing on one;
+phase 2 ranks exactly over the per-shard survivors, whose count is
+bounded by ``salt_shards × n`` per stratum.  The union of per-shard
+top-n provably contains the global top-n for ANY disjoint sharding,
+so the two-phase result is row-identical to the single-window plan
+(same pattern as cdc/conflate.py's salted window).  Set
+``salt_shards=0`` to force the plain single window.
 """
 
 from __future__ import annotations

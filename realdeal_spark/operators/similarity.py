@@ -21,8 +21,14 @@
 At 100 TB the corpus side stays partitioned; only the query side is
 broadcast.  IVF and LSH share the same join shape: candidates come
 from an equi-join on a small int cell/bucket id, the corpus is never
-shuffled, and cell assignment is a map-only pass (the centroid set is
-folded into the plan as literals — no join, no shuffle).
+shuffled, and cell assignment is a map-only pass.  Assignment has two
+strategies (``assign=``): ``literal`` folds the centroid set into the
+plan as constants (fastest at small ``n_lists`` — whole-stage codegen
+over fused multiply-adds), ``broadcast`` ships the centroids as DATA
+via a one-row broadcast relation cross-joined in (expression tree
+stays O(1), so ``n_lists`` can reach the thousands a 10^10-vector
+corpus wants); ``auto`` switches at ``_IVF_LITERAL_MAX_LISTS``.  Both
+are shuffle-free over the corpus and bit-identical in output.
 """
 
 from __future__ import annotations
@@ -301,6 +307,94 @@ def ivf_seed_centroids(
     return [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in rows]
 
 
+# Above this many cells, folding centroids into the plan as literals
+# stops scaling: the expression tree (and codegen input) grows as
+# O(n_lists × dim) and a 100-TB corpus wants thousands of lists.  The
+# broadcast path below keeps the expression tree O(1) by shipping the
+# centroids as DATA — a one-row broadcast relation cross-joined in —
+# while the per-row arithmetic (and the results, bit-for-bit) stay
+# identical.
+_IVF_LITERAL_MAX_LISTS = 128
+
+
+def _resolve_assign(assign: str, n_lists: int) -> str:
+    if assign not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"assign={assign!r} not in auto|literal|broadcast")
+    if assign != "auto":
+        return assign
+    return "literal" if n_lists <= _IVF_LITERAL_MAX_LISTS else "broadcast"
+
+
+def _centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """One-row DataFrame holding the whole centroid set as a nested
+    array — the broadcast-assignment carrier.  A single row means the
+    broadcast cross-join duplicates nothing: every corpus row
+    references the same broadcast row, gains a ``_cents`` column,
+    computes its cell, and drops it."""
+    rows = [
+        ([
+            {"cid": int(cid), "v": [float(x) for x in cv]}
+            for cid, cv in centroids
+        ],)
+    ]
+    return spark.createDataFrame(
+        rows, "_cents array<struct<cid: bigint, v: array<double>>>"
+    )
+
+
+def _cell_ranking_col(
+    vec: Column, cents: Column, vec_norm: Column | None = None
+) -> Column:
+    """:func:`_cell_ranking_expr` with the centroids as a COLUMN
+    (array<struct<cid, v>>) instead of plan literals.  Every term uses
+    the same left-to-right F.aggregate fold, the same round scale and
+    the same (-cos, cid) sort struct, so both paths rank — and tie —
+    identically; tests pin the bit-equality."""
+    nv = vec_norm if vec_norm is not None else F.sqrt(_dot(vec, vec))
+    return F.array_sort(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                (
+                    -F.round(
+                        _dot(vec, s["v"]) / (nv * F.sqrt(_dot(s["v"], s["v"]))), 6
+                    )
+                ).alias("c"),
+                s["cid"].cast("long").alias("cid"),
+            ),
+        )
+    )
+
+
+def _attach_ranking(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    centroids: list[tuple[int, list[float]]],
+    assign: str,
+    out_col: str = "_rk",
+) -> DataFrame:
+    """Add the sorted cell-ranking array under ``out_col`` via the
+    resolved assignment strategy.  Both are map-only over ``df``: the
+    literal path is a pure projection; the broadcast path is a
+    one-row BroadcastNestedLoopJoin (no shuffle of ``df``, no row
+    duplication) followed by the same projection."""
+    mode = _resolve_assign(assign, len(centroids))
+    if mode == "literal":
+        return df.withColumn(
+            out_col, _cell_ranking_expr(F.col(vec_col), centroids, F.col(norm_col))
+        )
+    cents = _centroids_df(df.sparkSession, centroids)
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn(
+            out_col,
+            _cell_ranking_col(F.col(vec_col), F.col("_cents"), F.col(norm_col)),
+        )
+        .drop("_cents")
+    )
+
+
 def _cell_ranking_expr(
     vec: Column,
     centroids: list[tuple[int, list[float]]],
@@ -339,6 +433,7 @@ def kmeans_refine(
     n_iter: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd iterations over seed centroids.
 
@@ -354,16 +449,14 @@ def kmeans_refine(
     """
     cur = list(centroids)
     for _ in range(n_iter):
-        assigned = (
+        assigned = _attach_ranking(
             corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
-            .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-            .withColumn(
-                "_cell",
-                F.element_at(
-                    _cell_ranking_expr(F.col("_v"), cur, F.col("_nv")), 1
-                )["cid"],
-            )
-        )
+            .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v")))),
+            "_v",
+            "_nv",
+            cur,
+            assign,
+        ).withColumn("_cell", F.element_at(F.col("_rk"), 1)["cid"])
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cell", "_pos")
@@ -393,6 +486,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an inverted file: candidates share one of
     the query's ``nprobe`` nearest Voronoi cells.
@@ -404,11 +498,14 @@ def ivf_knn(
     one list), so a candidate cannot appear under two probes of one
     query — no dedup pass.
 
-    Scale shape: assignment is a map (centroid literals folded into
-    the plan — ``n_lists × dim`` fused multiply-adds per row, no
-    join); the candidate join is an equi-join on a small long cell id
-    with the query side exploded to ``nprobe`` rows and broadcast; the
-    corpus is never shuffled.  Versus LSH: recall degrades gracefully
+    Scale shape: assignment is a map — ``n_lists × dim`` fused
+    multiply-adds per row with the centroids either folded into the
+    plan as literals (small ``n_lists``) or carried by a one-row
+    broadcast relation (``assign="broadcast"``, the large-``n_lists``
+    path; see module docstring) — no shuffle either way; the
+    candidate join is an equi-join on a small long cell id with the
+    query side exploded to ``nprobe`` rows and broadcast; the corpus
+    is never shuffled.  Versus LSH: recall degrades gracefully
     with data geometry instead of cliff-ing with n_planes, at the cost
     of a centroid-management step (seed or :func:`kmeans_refine`).
     """
@@ -417,41 +514,37 @@ def ivf_knn(
     if nprobe < 1 or nprobe > len(centroids):
         raise ValueError(f"nprobe={nprobe} out of range 1..{len(centroids)}")
     c = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
+        _attach_ranking(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            ).withColumn("_nv", F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
+            "_cv",
+            "_nv",
+            centroids,
+            assign,
         )
-        .withColumn("_nv", F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
-        .withColumn(
-            "list_id",
-            F.element_at(
-                _cell_ranking_expr(F.col("_cv"), centroids, F.col("_nv")), 1
-            )["cid"],
-        )
-        .drop("_nv")
+        .withColumn("list_id", F.element_at(F.col("_rk"), 1)["cid"])
+        .drop("_nv", "_rk")
     )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
+        _attach_ranking(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            ).withColumn("_nq", F.sqrt(_dot(F.col("_qv"), F.col("_qv")))),
+            "_qv",
+            "_nq",
+            centroids,
+            assign,
         )
-        .withColumn("_nq", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
         .withColumn(
             "list_id",
             F.explode(
-                F.transform(
-                    F.slice(
-                        _cell_ranking_expr(
-                            F.col("_qv"), centroids, F.col("_nq")
-                        ),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["cid"],
-                )
+                F.transform(F.slice(F.col("_rk"), 1, nprobe), lambda s: s["cid"])
             ),
         )
-        .drop("_nq")
+        .drop("_nq", "_rk")
     )
     scored = (
         c.join(F.broadcast(q), on="list_id")
@@ -478,6 +571,7 @@ def build_ivf_index(
     kmeans_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> dict:
     """Materialize an IVF index: cell assignments as parquet bucketed
     by ``list_id`` plus a centroid sidecar (JSON).
@@ -499,21 +593,28 @@ def build_ivf_index(
     centroids = ivf_seed_centroids(corpus, n_lists, vec_col, id_col)
     if kmeans_iters:
         centroids = kmeans_refine(
-            corpus, centroids, n_iter=kmeans_iters, vec_col=vec_col, id_col=id_col
+            corpus,
+            centroids,
+            n_iter=kmeans_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            assign=assign,
         )
     assigned = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("embedding"),
+        _attach_ranking(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ).withColumn(
+                "_nv", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+            ),
+            "embedding",
+            "_nv",
+            centroids,
+            assign,
         )
-        .withColumn("_nv", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
-        .withColumn(
-            "list_id",
-            F.element_at(
-                _cell_ranking_expr(F.col("embedding"), centroids, F.col("_nv")), 1
-            )["cid"],
-        )
-        .drop("_nv")
+        .withColumn("list_id", F.element_at(F.col("_rk"), 1)["cid"])
+        .drop("_nv", "_rk")
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
@@ -535,6 +636,7 @@ def ivf_knn_indexed(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """Top-k over a persisted IVF index (see :func:`build_ivf_index`).
 
@@ -554,25 +656,23 @@ def ivf_knn_indexed(
     if nprobe < 1 or nprobe > len(centroids):
         raise ValueError(f"nprobe={nprobe} out of range 1..{len(centroids)}")
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
+        _attach_ranking(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            ).withColumn("_nq", F.sqrt(_dot(F.col("_qv"), F.col("_qv")))),
+            "_qv",
+            "_nq",
+            centroids,
+            assign,
         )
-        .withColumn("_nq", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
         .withColumn(
             "list_id",
             F.explode(
-                F.transform(
-                    F.slice(
-                        _cell_ranking_expr(F.col("_qv"), centroids, F.col("_nq")),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["cid"],
-                )
+                F.transform(F.slice(F.col("_rk"), 1, nprobe), lambda s: s["cid"])
             ),
         )
-        .drop("_nq")
+        .drop("_nq", "_rk")
     )
     probed = [r["list_id"] for r in q.select("list_id").distinct().collect()]
     cells = spark.read.parquet(os.path.join(index_dir, "cells")).where(

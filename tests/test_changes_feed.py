@@ -184,3 +184,56 @@ def test_changes_from_newer_than_to_raises(spark, tmp_path):
     merge_apply(t, _events_df(spark, [(2, "update", "a", 20, "A2")]))
     with pytest.raises(ValueError, match="newer"):
         t.read_changes(t.current_version(), v)
+
+
+def test_changes_legacy_delta_dirs_still_rank_generations(spark, tmp_path):
+    """Delta dirs written before the random-suffix rename
+    (delta-000000001/...) must still yield their version as the
+    rewrite generation: if they all collapsed to gen 0, the carried
+    copy from a compaction inside the interval would tie with the
+    original row on (key, order, gen) and both would survive the
+    winner semi-join — duplicate change rows."""
+    import json
+    import os
+    import re
+
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(spark, [(i, "insert", f"u{i}", 10 + i, f"B{i}") for i in range(10)]),
+        mode="mor",
+    )
+    v1 = t.current_version()
+    merge_apply(t, _events_df(spark, [(100, "update", "u3", 999, "NEW")]), mode="mor")
+    t.compact(max_files_per_bucket=1)  # carried copies inside the interval
+
+    # rewrite the physical layout to the legacy naming (no random suffix)
+    root = t.root
+    data = os.path.join(root, "data")
+    mapping = {}
+    for name in os.listdir(data):
+        m = re.match(r"(delta-\d+)-[0-9a-f]+$", name)
+        if m:
+            mapping[name] = m.group(1)
+            os.rename(os.path.join(data, name), os.path.join(data, m.group(1)))
+    assert mapping  # the rewrite actually renamed something
+    meta = os.path.join(root, "_meta")
+    for fn in os.listdir(meta):
+        if not fn.endswith(".json"):
+            continue
+        p = os.path.join(meta, fn)
+        with open(p) as f:
+            s = f.read()
+        for old, new in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
+            s = s.replace(old, new)
+        os.remove(p)  # v*.json are created via hard link; replace in place
+        with open(p, "w") as f:
+            f.write(s)
+
+    t2 = LakeTable(spark, root)
+    feed = t2.read_changes(v1).collect()
+    urls = [r["url"] for r in feed]
+    assert sorted(urls) == sorted(set(urls)), "duplicate change rows"
+    assert {r["url"]: (r["lsn"], r["change_type"]) for r in feed} == {
+        "u3": (100, "upsert")
+    }

@@ -541,3 +541,108 @@ def test_token_budget_sample_prefix_and_determinism(spark):
 
     with pytest.raises(ValueError, match="budget"):
         token_budget_sample(df, 0, ["lang"], "n_tokens")
+
+
+def test_ivf_broadcast_assignment_bit_identical(spark):
+    """assign='broadcast' carries the centroids as a one-row broadcast
+    relation instead of plan literals; results must equal the literal
+    path bit-for-bit (same fold order, round scale, tie-break)."""
+    import random
+
+    from realdeal_spark.operators.similarity import ivf_knn
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id < 8")
+    lit = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ivf_knn(df, q, k=5, n_lists=16, nprobe=4, assign="literal").collect()
+    )
+    bc = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ivf_knn(df, q, k=5, n_lists=16, nprobe=4, assign="broadcast").collect()
+    )
+    assert bc == lit
+    # auto resolves by n_lists against the literal-folding threshold
+    from realdeal_spark.operators.similarity import (
+        _IVF_LITERAL_MAX_LISTS,
+        _resolve_assign,
+    )
+
+    assert _resolve_assign("auto", _IVF_LITERAL_MAX_LISTS) == "literal"
+    assert _resolve_assign("auto", _IVF_LITERAL_MAX_LISTS + 1) == "broadcast"
+    import pytest
+
+    with pytest.raises(ValueError, match="assign"):
+        _resolve_assign("bogus", 8)
+
+
+def test_ivf_broadcast_assignment_corpus_never_shuffled(spark):
+    """The broadcast-assignment sub-plan must contain no shuffle of
+    the corpus: only a BroadcastExchange (the one-row centroid
+    relation) — never a ShuffleExchange/Exchange hashpartitioning."""
+    import random
+
+    from realdeal_spark.operators.similarity import (
+        _attach_ranking,
+        _dot,
+        ivf_seed_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = ivf_seed_centroids(df, 8)
+    assigned = _attach_ranking(
+        df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+        ).withColumn("_nv", F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
+        "_cv",
+        "_nv",
+        cents,
+        "broadcast",
+    ).withColumn("list_id", F.element_at(F.col("_rk"), 1)["cid"])
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+    # the broadcast relation is ONE row — assignment duplicates nothing
+    assert assigned.count() == 200
+    assert assigned.select("vec_id").distinct().count() == 200
+
+
+def test_ivf_kmeans_and_index_broadcast_paths_match(spark, tmp_path):
+    """kmeans_refine and build_ivf_index/ivf_knn_indexed must produce
+    identical output through either assignment strategy."""
+    import random
+
+    from realdeal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_indexed,
+        ivf_seed_centroids,
+        kmeans_refine,
+    )
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    seeds = ivf_seed_centroids(df, 6)
+    ref_lit = kmeans_refine(df, seeds, n_iter=2, assign="literal")
+    ref_bc = kmeans_refine(df, seeds, n_iter=2, assign="broadcast")
+    assert ref_lit == ref_bc
+
+    q = df.where("vec_id < 5")
+    outs = []
+    for mode in ("literal", "broadcast"):
+        idx = str(tmp_path / f"ivf-{mode}")
+        build_ivf_index(df, idx, n_lists=6, kmeans_iters=1, assign=mode)
+        outs.append(
+            sorted(
+                (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                for r in ivf_knn_indexed(
+                    spark, idx, q, k=4, nprobe=2, assign=mode
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]

@@ -60,6 +60,13 @@ def test_normalize_url_cases(spark):
         "HTTP://A.B/Path/": "http://a.b/Path",
         # www only stripped as a prefix label
         "https://www.wwwish.org/x": "https://wwwish.org/x",
+        # a param NAME merely containing 'utm_' is NOT a tracking
+        # param — must survive untouched (anchored match)
+        "http://ex.com/a?xutm_source=1": "http://ex.com/a?xutm_source=1",
+        # consecutive utm params all fall in one pass
+        "http://ex.com/a?utm_a=1&utm_b=2&k=v": "http://ex.com/a?k=v",
+        "http://ex.com/a?utm_a=1&utm_b=2": "http://ex.com/a",
+        "http://ex.com/a?k=v&utm_a=1&utm_b=2": "http://ex.com/a?k=v",
     }
     for src, want in cases.items():
         assert _one(spark, src, normalize_url_expr("s")) == want, src

@@ -379,3 +379,74 @@ def test_compact_zorder_makes_both_dims_rowgroup_prunable(spark, tmp_path):
             hconf.unset("parquet.block.size")
         else:
             hconf.set("parquet.block.size", old_block)
+
+
+def test_mor_elsewhere_disables_skipping_table_wide(spark, tmp_path):
+    """When ANY selected bucket is MoR the latest-per-key reconcile
+    runs over the whole read — so even a non-MoR bucket holding the
+    same key across plain-append file generations must not be
+    file-skipped: pruning the winner's (out-of-range) file would
+    resurrect the older in-range copy."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "mix"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, html binary, lang string",
+        key_columns=["url"],
+        order_columns=["warc_ts", "lsn"],
+        n_buckets=8,
+        soft_delete=True,  # merge_apply requires it
+    )
+    # two plain-append generations of the same key in one bucket
+    t.append(_events_df(spark, [(1, "insert", "dup", 1, "OLD")]).drop("op"))
+    t.append(_events_df(spark, [(1000, "insert", "dup", 1000, "NEW")]).drop("op"))
+    # a MoR delta in a DIFFERENT bucket flips the table into reconcile mode
+    def bucket_of(key):
+        return str(
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(key)), F.lit(8)).cast("int"))
+            .first()[0]
+        )
+
+    other = next(
+        k for k in (f"elsewhere{i}" for i in range(32)) if bucket_of(k) != bucket_of("dup")
+    )
+    merge_apply(t, _events_df(spark, [(5, "insert", other, 5, "X")]), mode="mor")
+    snap = t.snapshot()
+    mor_buckets = {
+        b for b, fl in snap.files.items() if any(fe.get("mor") for fe in fl)
+    }
+    assert bucket_of("dup") not in mor_buckets  # precondition: dup's bucket is plain
+    # range covers only the OLD generation of 'dup'; its winner
+    # (lsn=1000) is out of range, so the key must vanish — not
+    # resurrect the pruned-away older row
+    urls = {r["url"] for r in t.read(range_filters={"lsn": (None, 100)}).collect()}
+    assert "dup" not in urls
+    # and with no MoR anywhere, skipping still engages (files pruned)
+    t2 = _mk_log_table(spark, tmp_path / "plain", n_buckets=2)
+    t2.append(_chunk(spark, 0, 40))
+    t2.append(_chunk(spark, 100, 40))
+    out = t2.read(range_filters={"lsn": (110, 120)})
+    total = sum(len(fl) for fl in t2.snapshot().files.values())
+    assert len(out.inputFiles()) < total
+
+
+def test_zorder_bits_clamped_to_long_range(spark):
+    """bits * n_cols > 63 would wrap JVM shiftleft mod 64 and corrupt
+    the Morton code; zorder_expr clamps per-column bits instead, and
+    the clamped code must stay non-negative (bit 63 never set)."""
+    import pytest
+
+    from realdeal_spark.lake.zorder import zorder_expr
+
+    cols = [f"c{i}" for i in range(8)]
+    rows = [tuple([i] + [float((i * (j + 3)) % 97) for j in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "id bigint, " + ", ".join(f"{c} double" for c in cols))
+    bounds = {c: [float(k) for k in range(0, 97, 7)] for c in cols}
+    # default bits=8 over 8 columns would need 64 bit positions
+    z = [r["z"] for r in df.select(zorder_expr(cols, bounds, bits=8).alias("z")).collect()]
+    assert all(v >= 0 for v in z)
+    # clamped depth must equal an explicit bits=63//n call
+    z2 = [r["z"] for r in df.select(zorder_expr(cols, bounds, bits=7).alias("z")).collect()]
+    assert z == z2
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_expr([f"x{i}" for i in range(64)], {f"x{i}": [0.0] for i in range(64)})
