@@ -208,6 +208,10 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures = [
         Measure("n_rows", "count"),
         Measure("sum_value", "sum", "value", scale=4),
+        # non-additive measures (round 4): advance by dirty-group
+        # re-aggregation — the "max(warc_ts) per domain" dashboard ask
+        Measure("max_ts", "max", "ts"),
+        Measure("min_value", "min", "value"),
     ]
     applier.run(log, epoch_size=mx // 2 + 1, max_epochs=1)
     v1 = table.current_version()
@@ -221,6 +225,8 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_rows",
         F.col("sum_value").cast("double").alias("sum_value"),
+        "max_ts",
+        "min_value",
     )
 
 
@@ -1438,6 +1444,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_knn(e, queries, k=5, n_lists=16, nprobe=4)
 
 
+def q_knn_ivf_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_knn through the large-n_lists assignment strategy
+    (assign='broadcast': centroids shipped as a one-row broadcast
+    relation instead of plan literals — similarity.py
+    _attach_ranking).  Bit-identical to the literal path by
+    construction, so it shares knn_ivf's oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_knn(e, queries, k=5, n_lists=16, nprobe=4, assign="broadcast")
+
+
 def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF roundtrip (similarity.py build_ivf_index /
     ivf_knn_indexed): build the inverted file on disk (cells
@@ -2043,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf_indexed": q_knn_ivf_indexed,
+        "knn_ivf_broadcast": q_knn_ivf_broadcast,
     }
 
 
@@ -2055,7 +2073,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_mor": _FINAL_STATE_SQL,
         "cdc_incremental_rollup": f"""
 with final as ({_FINAL_STATE_SQL})
-select event_type, count(*) as n_rows, {_sum_sql('value')} as sum_value
+select event_type, count(*) as n_rows, {_sum_sql('value')} as sum_value,
+       max(ts) as max_ts, min(value) as min_value
 from final group by event_type
 """,
         "cdc_find_new": """
@@ -2488,6 +2507,7 @@ select doc_id, lang, n_tokens from c where cum <= 2000
         "knn_lsh_multiprobe": _knn_multiprobe_sql(5),
         "knn_ivf": _knn_ivf_sql(5),
         "knn_ivf_indexed": _knn_ivf_sql(5),
+        "knn_ivf_broadcast": _knn_ivf_sql(5),
         "extract_html_text": """
 select doc_id,
        trim(regexp_replace(text, '[ \\t\\r\\f\\x0b]+', ' ', 'g')) as text_out

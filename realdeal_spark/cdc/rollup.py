@@ -10,10 +10,16 @@ both sides of the update — new row versions to ADD and pre-images to
 SUBTRACT — so additive aggregates advance by merging a per-dim delta
 into the previous state.
 
-Only additive measures are supported (``count``, ``sum``): they form
-a commutative group, so subtraction of pre-images is exact.  min/max
-are NOT maintainable this way (deleting the current max needs a
-rescan); asking for one raises rather than silently recomputing.
+Additive measures (``count``, ``sum``) form a commutative group, so
+subtraction of pre-images is exact and the advance never touches the
+table.  ``min``/``max`` do NOT form a group (deleting the current max
+invalidates the state), so they advance with a two-regime rule:
+groups touched only by additions combine monotonically
+(``greatest(old, max(added))`` — no table read), while groups that
+LOST a value (any pre-image, i.e. an update or delete hit them) are
+re-aggregated from the target snapshot, restricted to exactly those
+dirty groups via a broadcast semi-join on the dims — O(changed
+groups) output, a dims+measure-column projected scan for input.
 
 Exact-sum discipline: sums accumulate in DECIMAL(38, scale) (same
 fixed-point trick as the oracle queries) so the maintained state is
@@ -41,11 +47,16 @@ from pyspark.sql import functions as F
 from realdeal_spark.lake.table import LakeTable
 
 
+_ADDITIVE = ("count", "sum")
+_EXTREMA = ("min", "max")
+
+
 @dataclass(frozen=True)
 class Measure:
-    """One maintained aggregate: ``kind`` in {'count', 'sum'};
-    ``col`` is ignored for count.  ``scale`` = fixed-point decimal
-    digits for sum (exactness contract)."""
+    """One maintained aggregate: ``kind`` in {'count', 'sum', 'min',
+    'max'}; ``col`` is ignored for count.  ``scale`` = fixed-point
+    decimal digits for sum (exactness contract).  min/max advance via
+    the dirty-group re-aggregation rule (module docstring)."""
 
     alias: str
     kind: str
@@ -53,22 +64,23 @@ class Measure:
     scale: int = 4
 
     def __post_init__(self):
-        if self.kind not in ("count", "sum"):
+        if self.kind not in _ADDITIVE + _EXTREMA:
             raise ValueError(
                 f"measure {self.alias}: kind {self.kind!r} is not "
-                "incrementally maintainable (only count/sum form a "
-                "group under deletion)"
+                "incrementally maintainable (count/sum advance "
+                "additively, min/max by dirty-group re-aggregation)"
             )
-        if self.kind == "sum" and not self.col:
-            raise ValueError(f"sum measure {self.alias} needs col")
+        if self.kind != "count" and not self.col:
+            raise ValueError(f"{self.kind} measure {self.alias} needs col")
 
 
 def _agg_exprs(measures: Sequence[Measure], sign: int) -> list:
+    """Signed aggregate exprs for the ADDITIVE measures only."""
     out = []
     for m in measures:
         if m.kind == "count":
             out.append(F.sum(F.lit(sign)).cast("long").alias(m.alias))
-        else:
+        elif m.kind == "sum":
             dec = f"decimal(38,{m.scale})"
             out.append(
                 F.sum(
@@ -76,6 +88,16 @@ def _agg_exprs(measures: Sequence[Measure], sign: int) -> list:
                 ).cast(dec).alias(m.alias)
             )
     return out
+
+
+def _extrema_exprs(measures: Sequence[Measure], prefix: str = "") -> list:
+    return [
+        (F.min(m.col) if m.kind == "min" else F.max(m.col)).alias(
+            prefix + m.alias
+        )
+        for m in measures
+        if m.kind in _EXTREMA
+    ]
 
 
 def rollup_full(
@@ -86,10 +108,13 @@ def rollup_full(
 ) -> DataFrame:
     """The from-scratch aggregate at a snapshot — the bootstrap state
     and the equivalence oracle for :func:`rollup_advance`."""
+    additive = [m for m in measures if m.kind in _ADDITIVE]
+    extrema = [m for m in measures if m.kind in _EXTREMA]
+    aggs = _agg_exprs(additive, +1) + _extrema_exprs(extrema)
+    # keep the caller's declared measure order in the output schema
+    order = [F.col(d) for d in dims] + [F.col(m.alias) for m in measures]
     return (
-        table.read(version=version)
-        .groupBy(*dims)
-        .agg(*_agg_exprs(measures, +1))
+        table.read(version=version).groupBy(*dims).agg(*aggs).select(*order)
     )
 
 
@@ -109,14 +134,20 @@ def rollup_advance(
     ``rollup_advance(t, rollup_full(t, v1), v1, v2) ==
     rollup_full(t, v2)`` for any pair of snapshots.
     """
+    if to_version is None:
+        # pin it: the changes feed and the dirty-group rescan below
+        # must see the SAME snapshot even if a writer lands mid-call
+        to_version = table.current_version()
+    additive = [m for m in measures if m.kind in _ADDITIVE]
+    extrema = [m for m in measures if m.kind in _EXTREMA]
     ch = table.read_changes(
         from_version, to_version, include_preimage=True
     )
     add = ch.where(F.col("change_type") == "upsert")
     sub = ch.where(F.col("change_type") == "update_preimage")
     delta = (
-        add.groupBy(*dims).agg(*_agg_exprs(measures, +1))
-        .unionByName(sub.groupBy(*dims).agg(*_agg_exprs(measures, -1)))
+        add.groupBy(*dims).agg(*_agg_exprs(additive, +1))
+        .unionByName(sub.groupBy(*dims).agg(*_agg_exprs(additive, -1)))
         .groupBy(*dims)
         .agg(
             *[
@@ -125,7 +156,7 @@ def rollup_advance(
                 else F.sum(m.alias)
                 .cast(f"decimal(38,{m.scale})")
                 .alias(m.alias)
-                for m in measures
+                for m in additive
             ]
         )
     )
@@ -133,17 +164,55 @@ def rollup_advance(
     merged = state.alias("s").join(
         delta.alias("d"), on=list(dims), how="full_outer"
     )
+    if extrema:
+        # monotone side: per-dim extreme of the ADDED rows only
+        add_ext = add.groupBy(*dims).agg(*_extrema_exprs(extrema, "_add_"))
+        # dirty side: any group that LOST a value (update or delete
+        # pre-image) may have lost its extreme — re-aggregate those
+        # groups from the target snapshot, pruned to the dirty dims
+        # via a broadcast semi-join (changes-bounded, so broadcastable)
+        dirty = sub.select(*dims).distinct()
+        need_cols = list(
+            dict.fromkeys(list(dims) + [m.col for m in extrema])
+        )
+        rescan = (
+            table.read(version=to_version)
+            .select(*need_cols)
+            .join(F.broadcast(dirty), on=list(dims), how="left_semi")
+            .groupBy(*dims)
+            .agg(*_extrema_exprs(extrema, "_rs_"))
+        )
+        merged = (
+            merged.join(add_ext.alias("a"), on=list(dims), how="full_outer")
+            .join(
+                dirty.withColumn("_dirty", F.lit(True)).alias("dd"),
+                on=list(dims),
+                how="full_outer",
+            )
+            .join(rescan.alias("r"), on=list(dims), how="left_outer")
+        )
     cols = [F.col(d) for d in dims]
     for m in measures:
-        s, d = F.col(f"s.{m.alias}"), F.col(f"d.{m.alias}")
-        zero = (
-            F.lit(0).cast("long")
-            if m.kind == "count"
-            else F.lit(0).cast(f"decimal(38,{m.scale})")
-        )
-        cols.append(
-            (F.coalesce(s, zero) + F.coalesce(d, zero)).alias(m.alias)
-        )
+        if m.kind in _ADDITIVE:
+            s, d = F.col(f"s.{m.alias}"), F.col(f"d.{m.alias}")
+            zero = (
+                F.lit(0).cast("long")
+                if m.kind == "count"
+                else F.lit(0).cast(f"decimal(38,{m.scale})")
+            )
+            cols.append(
+                (F.coalesce(s, zero) + F.coalesce(d, zero)).alias(m.alias)
+            )
+        else:
+            old, added = F.col(f"s.{m.alias}"), F.col(f"_add_{m.alias}")
+            combine = (
+                F.least(old, added) if m.kind == "min" else F.greatest(old, added)
+            )  # least/greatest skip nulls: untouched→old, new group→added
+            cols.append(
+                F.when(F.col("_dirty"), F.col(f"_rs_{m.alias}"))
+                .otherwise(combine)
+                .alias(m.alias)
+            )
     out = merged.select(*cols)
     if count_aliases:
         # a dim value whose row count hit zero leaves the state

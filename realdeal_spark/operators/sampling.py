@@ -69,26 +69,65 @@ def hash_sample(
     return df.where(_hash_bucket(F.col(id_col), salt) < F.lit(threshold))
 
 
+def _hash_rank_prefix(
+    df: DataFrame,
+    n: int,
+    stratum_cols: list[str],
+    id_col: str,
+    salt: str,
+    salt_shards: int,
+) -> DataFrame:
+    """Rows whose hash rank within their stratum is ≤ ``n`` — the
+    shared core of :func:`stratified_sample` and the token-budget
+    pre-cap.
+
+    ``salt_shards > 1`` runs it two-phase (the skew guard): phase 1
+    takes the per-(stratum, shard) top-n — the giant stratum's rows
+    spread over ``salt_shards`` reducers — and phase 2 takes the
+    exact top-n over the ≤ ``salt_shards × n`` survivors per stratum.
+    Correct for any disjoint sharding: a row in the global top-n is in
+    the top-n of whichever shard holds it, so phase 1 never drops it.
+    Output is row-identical to the single-window plan."""
+    order = [_hash_bucket(F.col(id_col), salt), F.col(id_col)]
+    if salt_shards > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_shards))
+        w1 = Window.partitionBy(
+            *([F.col(c) for c in stratum_cols] + [shard])
+        ).orderBy(*order)
+        df = (
+            df.withColumn("_hr1", F.row_number().over(w1))
+            .where(F.col("_hr1") <= n)
+            .drop("_hr1")
+        )
+    w = Window.partitionBy(*stratum_cols).orderBy(*order)
+    return (
+        df.withColumn("_hr", F.row_number().over(w))
+        .where(F.col("_hr") <= n)
+        .drop("_hr")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     per_stratum: int,
     stratum_cols: list[str],
     id_col: str = "doc_id",
     salt: str = "sample-v1",
+    salt_shards: int = 32,
 ) -> DataFrame:
     """At most ``per_stratum`` rows per distinct ``stratum_cols``
     tuple, selected by hash rank (deterministic, layout-independent,
     id tiebreak).  The balanced-corpus primitive: equal per-language
-    document budgets regardless of raw-language skew."""
+    document budgets regardless of raw-language skew.
+
+    Skew-safe by default: the two-phase hash-rank prefix (module
+    docstring) keeps a stratum holding half the corpus from
+    serializing on one reducer; ``salt_shards=0`` forces the plain
+    single window.  Both plans return identical rows."""
     if per_stratum < 1:
         raise ValueError(f"per_stratum must be >= 1, got {per_stratum}")
-    w = Window.partitionBy(*stratum_cols).orderBy(
-        _hash_bucket(F.col(id_col), salt), F.col(id_col)
-    )
-    return (
-        df.withColumn("_hr", F.row_number().over(w))
-        .where(F.col("_hr") <= per_stratum)
-        .drop("_hr")
+    return _hash_rank_prefix(
+        df, per_stratum, stratum_cols, id_col, salt, salt_shards
     )
 
 
@@ -99,6 +138,8 @@ def token_budget_sample(
     token_col: str,
     id_col: str = "doc_id",
     salt: str = "sample-v1",
+    salt_shards: int = 32,
+    assume_min_tokens: int = 1,
 ) -> DataFrame:
     """Fill each stratum up to a TOKEN budget, not a document count —
     the unit training runs are actually specified in.
@@ -108,11 +149,27 @@ def token_budget_sample(
     while the running token total stays ≤ ``budget``; the first
     document that would overflow the budget stops the stratum (and a
     single document larger than the whole budget is skipped with the
-    rest, by the same rule).  One window per stratum — the cumulative
-    sum rides the identical shuffle the rank-based sampler uses.
+    rest, by the same rule).
+
+    The cumulative sum is an inherently sequential prefix per stratum,
+    so the skew guard here is a PRE-CAP: only the first
+    ``budget // assume_min_tokens + 1`` documents in hash order can
+    possibly fit (each kept doc contributes ≥ ``assume_min_tokens``
+    tokens, and the cumsum of a row depends only on rows before it),
+    and that prefix is computed with the two-phase skew-safe
+    :func:`_hash_rank_prefix`.  With the default
+    ``assume_min_tokens=1`` the cap is exact for any positive token
+    counts; raise it to your corpus' true minimum doc length to
+    tighten the cap (exact as long as every ``token_col`` ≥ it).
+    ``salt_shards=0`` disables the pre-cap entirely (plain window).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if assume_min_tokens < 1:
+        raise ValueError(f"assume_min_tokens must be >= 1, got {assume_min_tokens}")
+    if salt_shards:
+        cap = budget // assume_min_tokens + 1
+        df = _hash_rank_prefix(df, cap, stratum_cols, id_col, salt, salt_shards)
     w = (
         Window.partitionBy(*stratum_cols)
         .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))

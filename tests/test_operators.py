@@ -646,3 +646,59 @@ def test_ivf_kmeans_and_index_broadcast_paths_match(spark, tmp_path):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_stratified_sample_two_phase_identical_to_single_window(spark):
+    """The skew-guard (two-phase salted rank) must return exactly the
+    rows of the plain single-window plan — for every shard count,
+    including shard counts larger than any stratum."""
+    from realdeal_spark.operators.sampling import (
+        stratified_sample,
+        token_budget_sample,
+    )
+
+    rows = [(i, f"lang{i % 3}", 10 + (i * 7) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens int")
+
+    base = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, 20, ["lang"], salt_shards=0).collect()
+    )
+    for shards in (2, 32, 1024):
+        got = sorted(
+            r["doc_id"]
+            for r in stratified_sample(df, 20, ["lang"], salt_shards=shards).collect()
+        )
+        assert got == base, shards
+
+    tb_base = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(df, 400, ["lang"], "n_tokens", salt_shards=0).collect()
+    )
+    for shards, amin in ((32, 1), (8, 10)):
+        got = sorted(
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, 400, ["lang"], "n_tokens",
+                salt_shards=shards, assume_min_tokens=amin,
+            ).collect()
+        )
+        assert got == tb_base, (shards, amin)
+
+
+def test_stratified_sample_two_phase_plan_has_salted_window(spark):
+    """The giant-stratum guard must actually be in the plan: two
+    window nodes, the first partitioned by (stratum, shard)."""
+    from realdeal_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id bigint, lang string"
+    )
+    plan = (
+        stratified_sample(df, 5, ["lang"], salt_shards=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") >= 2
+    assert "pmod(xxhash64(doc_id" in plan
