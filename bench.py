@@ -70,6 +70,13 @@ HEADLINE = HEADLINE_R1 + [
     # change-suppression lag window are the two with real weight
     "text_decontaminate",
     "cdc_suppress_unchanged",
+    # round-4 additions: the rollup advance now carries min/max (dirty-
+    # group rescan), sampling runs the two-phase skew guard by default,
+    # and the broadcast IVF assignment is the large-n_lists scale path
+    "cdc_incremental_rollup",
+    "curate_sample_stratified",
+    "curate_token_budget",
+    "knn_ivf_broadcast",
 ]
 
 

@@ -76,6 +76,7 @@ def _hash_rank_prefix(
     id_col: str,
     salt: str,
     salt_shards: int,
+    exact: bool = True,
 ) -> DataFrame:
     """Rows whose hash rank within their stratum is ≤ ``n`` — the
     shared core of :func:`stratified_sample` and the token-budget
@@ -87,7 +88,12 @@ def _hash_rank_prefix(
     exact top-n over the ≤ ``salt_shards × n`` survivors per stratum.
     Correct for any disjoint sharding: a row in the global top-n is in
     the top-n of whichever shard holds it, so phase 1 never drops it.
-    Output is row-identical to the single-window plan."""
+    Output is row-identical to the single-window plan.
+
+    ``exact=False`` skips phase 2 and returns the phase-1 superset
+    (global top-n ⊆ result ⊆ top-(shards×n)) — for callers that apply
+    their own exact cut downstream, like the token-budget cumsum,
+    where a second rank window would be a redundant sort."""
     order = [_hash_bucket(F.col(id_col), salt), F.col(id_col)]
     if salt_shards > 1:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_shards))
@@ -99,6 +105,8 @@ def _hash_rank_prefix(
             .where(F.col("_hr1") <= n)
             .drop("_hr1")
         )
+        if not exact:
+            return df
     w = Window.partitionBy(*stratum_cols).orderBy(*order)
     return (
         df.withColumn("_hr", F.row_number().over(w))
@@ -168,8 +176,16 @@ def token_budget_sample(
     if assume_min_tokens < 1:
         raise ValueError(f"assume_min_tokens must be >= 1, got {assume_min_tokens}")
     if salt_shards:
+        # phase-1 superset only (exact=False): the cumsum filter below
+        # is itself the exact cut.  Any phase-1-dropped row has ≥ cap
+        # same-shard rows before it, hence global hash rank > cap, and
+        # every row ranked > cap has true cumsum ≥ cap·assume_min_tokens
+        # > budget — so dropped rows could never have been kept, and no
+        # surviving row's cumsum is understated within the kept range.
         cap = budget // assume_min_tokens + 1
-        df = _hash_rank_prefix(df, cap, stratum_cols, id_col, salt, salt_shards)
+        df = _hash_rank_prefix(
+            df, cap, stratum_cols, id_col, salt, salt_shards, exact=False
+        )
     w = (
         Window.partitionBy(*stratum_cols)
         .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))

@@ -296,6 +296,54 @@ def main() -> None:
         )
     )
 
+    # round 4: broadcast IVF assignment — centroids as data, not plan
+    from pyspark.sql import functions as F2
+
+    from realdeal_spark.operators.similarity import (
+        _attach_ranking,
+        _dot,
+        ivf_seed_centroids,
+    )
+
+    cents = ivf_seed_centroids(emb, 8)
+    sections.append(
+        (
+            "Broadcast IVF assignment (large-n_lists strategy)",
+            "The centroid set rides a ONE-ROW BroadcastExchange cross-"
+            "joined into the corpus (BroadcastNestedLoopJoin over a "
+            "single row duplicates nothing); the ranking is one "
+            "transform/array_sort over the broadcast column, so the "
+            "expression tree stays O(1) however many lists exist.  No "
+            "ShuffleExchange anywhere — the corpus is never shuffled.",
+            _attach_ranking(
+                emb.select(
+                    "vec_id",
+                    F2.col("embedding").cast("array<double>").alias("_cv"),
+                ).withColumn("_nv", F2.sqrt(_dot(F2.col("_cv"), F2.col("_cv")))),
+                "_cv",
+                "_nv",
+                cents,
+                "broadcast",
+            ).withColumn("list_id", F2.element_at(F2.col("_rk"), 1)["cid"]),
+        )
+    )
+
+    # round 4: two-phase skew-safe stratified sampling
+    from realdeal_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append(
+        (
+            "Stratified sample (two-phase skew guard)",
+            "Two Window nodes: phase 1 partitions by (stratum, "
+            "pmod(xxhash64(id), shards)) so a giant stratum spreads "
+            "over `salt_shards` reducers; phase 2 ranks exactly over "
+            "the bounded survivors.  Row-identical to the single-window "
+            "plan, minus the straggler.",
+            stratified_sample(docs, 10, ["lang"], salt_shards=32),
+        )
+    )
+
     out = [
         "# EXPLAIN — physical plans of the core operators",
         "",
