@@ -20,16 +20,30 @@ pure function of the data:
 
 Scale shape: ``hash_sample`` is a pure map-side filter (pushes to the
 scan, no shuffle).  ``stratified_sample`` and
-:func:`token_budget_sample` are built on a two-phase hash-rank prefix
-(``salt_shards``, on by default): phase 1 ranks within (stratum,
-shard) so a giant stratum — one language being 50% of the web — is
-spread over ``salt_shards`` reducers instead of serializing on one;
-phase 2 ranks exactly over the per-shard survivors, whose count is
-bounded by ``salt_shards × n`` per stratum.  The union of per-shard
-top-n provably contains the global top-n for ANY disjoint sharding,
-so the two-phase result is row-identical to the single-window plan
-(same pattern as cdc/conflate.py's salted window).  Set
-``salt_shards=0`` to force the plain single window.
+:func:`token_budget_sample` need a per-stratum PREFIX (hash-order
+rank, or running token sum) — inherently sequential per stratum, so
+the naive single window serializes a giant stratum (one language
+being 50% of the web) on one reducer.  The skew guard
+(``skew_buckets``, on by default) computes the exact same prefix as a
+DISTRIBUTED PREFIX SUM over contiguous ranges of the hash order:
+
+1. bucket = ``hash // ceil(D / skew_buckets)`` — contiguous hash-
+   order ranges, so every row of bucket b sorts before every row of
+   bucket b+1 within its stratum;
+2. one narrow groupBy computes each (stratum, bucket)'s row count /
+   token total — ≤ ``skew_buckets`` rows per stratum;
+3. a window over that tiny table gives each bucket its carry-in (the
+   aggregate of all earlier buckets);
+4. the carry joins back on (stratum, bucket) and the heavy window
+   runs partitioned by (stratum, bucket) — a giant stratum spreads
+   over ``skew_buckets`` independent window groups — with
+   ``global prefix = carry + within-bucket prefix``.
+
+The decomposition is exact (not a superset-then-refine), so the
+result is row-identical to the single-window plan for any bucket
+count; the only serial work left per stratum is the ≤``skew_buckets``-
+row carry window.  Set ``skew_buckets=0`` to force the plain single
+window.
 """
 
 from __future__ import annotations
@@ -69,50 +83,88 @@ def hash_sample(
     return df.where(_hash_bucket(F.col(id_col), salt) < F.lit(threshold))
 
 
-def _hash_rank_prefix(
+def _with_stratum_prefix(
     df: DataFrame,
-    n: int,
     stratum_cols: list[str],
     id_col: str,
     salt: str,
-    salt_shards: int,
-    exact: bool = True,
+    skew_buckets: int,
+    val_col: str | None = None,
+    carry_lt: int | None = None,
 ) -> DataFrame:
-    """Rows whose hash rank within their stratum is ≤ ``n`` — the
-    shared core of :func:`stratified_sample` and the token-budget
-    pre-cap.
+    """Attach ``_prefix``: the exact per-stratum prefix aggregate in
+    hash order — row count up to and including this row when
+    ``val_col`` is None (i.e. the hash rank), else the running sum of
+    ``val_col``.  Shared core of :func:`stratified_sample` and
+    :func:`token_budget_sample`.
 
-    ``salt_shards > 1`` runs it two-phase (the skew guard): phase 1
-    takes the per-(stratum, shard) top-n — the giant stratum's rows
-    spread over ``salt_shards`` reducers — and phase 2 takes the
-    exact top-n over the ≤ ``salt_shards × n`` survivors per stratum.
-    Correct for any disjoint sharding: a row in the global top-n is in
-    the top-n of whichever shard holds it, so phase 1 never drops it.
-    Output is row-identical to the single-window plan.
+    ``skew_buckets > 1`` computes it as a distributed prefix sum over
+    contiguous hash-order range buckets (module docstring): the heavy
+    window is partitioned by (stratum, bucket) so no single reducer
+    ever sorts a whole stratum; exactness comes from
+    ``global prefix = carry-in + within-bucket prefix`` where the
+    carry-ins are planned on a ≤``skew_buckets``-row-per-stratum
+    bucket table.  The (stratum, bucket) carry join is null-safe on
+    the stratum columns so null strata group exactly as the window
+    does.
 
-    ``exact=False`` skips phase 2 and returns the phase-1 superset
-    (global top-n ⊆ result ⊆ top-(shards×n)) — for callers that apply
-    their own exact cut downstream, like the token-budget cumsum,
-    where a second rank window would be a redundant sort."""
-    order = [_hash_bucket(F.col(id_col), salt), F.col(id_col)]
-    if salt_shards > 1:
-        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_shards))
-        w1 = Window.partitionBy(
-            *([F.col(c) for c in stratum_cols] + [shard])
-        ).orderBy(*order)
-        df = (
-            df.withColumn("_hr1", F.row_number().over(w1))
-            .where(F.col("_hr1") <= n)
-            .drop("_hr1")
+    ``carry_lt`` prunes whole buckets whose carry-in already meets the
+    caller's cut (``_carry >= carry_lt`` ⇒ every row in the bucket
+    fails ``_prefix <= carry_lt - 1``, for non-negative per-row
+    contributions): the bucket table is filtered BEFORE the join, so
+    with AQE broadcasting the tiny carry side, rows past the cut are
+    dropped map-side and never enter the window shuffle — the shuffle
+    then moves only ~cut + one bucket's rows per stratum."""
+    hb = _hash_bucket(F.col(id_col), salt)
+    order = [hb, F.col(id_col)]
+
+    def within(w):
+        # row_number ≡ count(*) over the running rows frame under a
+        # total order (id tiebreak), but row_number admits no frame
+        # and keeps the WindowGroupLimit rank-limit pushdown alive in
+        # the single-window fallback
+        if val_col is None:
+            return F.row_number().over(w)
+        return F.sum(val_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        if not exact:
-            return df
+
+    agg_one = F.count(F.lit(1)) if val_col is None else F.sum(val_col)
+    if skew_buckets and skew_buckets > 1:
+        width = -(-_DENOM // skew_buckets)  # ceil: bucket in [0, skew_buckets)
+        bucket = F.floor(hb / F.lit(width))
+        per = (
+            df.groupBy(*stratum_cols, bucket.alias("_rb"))
+            .agg(agg_one.alias("_bt"))
+        )
+        wb = (
+            Window.partitionBy(*stratum_cols)
+            .orderBy("_rb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        per = per.select(
+            *stratum_cols,
+            "_rb",
+            F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_carry"),
+        )
+        if carry_lt is not None:
+            per = per.where(F.col("_carry") < F.lit(carry_lt))
+        left = df.withColumn("_rb", bucket).alias("L")
+        right = per.alias("R")
+        cond = F.col("L._rb") == F.col("R._rb")
+        for c in stratum_cols:
+            cond = cond & F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
+        w = Window.partitionBy(
+            *[F.col(f"L.{c}") for c in stratum_cols], "L._rb"
+        ).orderBy(*order)
+        return (
+            left.join(right, cond, "inner")
+            .withColumn("_prefix", F.col("R._carry") + within(w))
+            .select("L.*", "_prefix")
+            .drop("_rb")
+        )
     w = Window.partitionBy(*stratum_cols).orderBy(*order)
-    return (
-        df.withColumn("_hr", F.row_number().over(w))
-        .where(F.col("_hr") <= n)
-        .drop("_hr")
-    )
+    return df.withColumn("_prefix", within(w))
 
 
 def stratified_sample(
@@ -121,21 +173,27 @@ def stratified_sample(
     stratum_cols: list[str],
     id_col: str = "doc_id",
     salt: str = "sample-v1",
-    salt_shards: int = 32,
+    skew_buckets: int = 1024,
 ) -> DataFrame:
     """At most ``per_stratum`` rows per distinct ``stratum_cols``
     tuple, selected by hash rank (deterministic, layout-independent,
     id tiebreak).  The balanced-corpus primitive: equal per-language
     document budgets regardless of raw-language skew.
 
-    Skew-safe by default: the two-phase hash-rank prefix (module
-    docstring) keeps a stratum holding half the corpus from
-    serializing on one reducer; ``salt_shards=0`` forces the plain
-    single window.  Both plans return identical rows."""
+    Skew-safe by default: the range-bucket prefix decomposition
+    (module docstring) keeps a stratum holding half the corpus from
+    serializing on one reducer, and buckets wholly past the cap are
+    pruned before the window shuffle; ``skew_buckets=0`` forces the
+    plain single window.  Both plans return identical rows."""
     if per_stratum < 1:
         raise ValueError(f"per_stratum must be >= 1, got {per_stratum}")
-    return _hash_rank_prefix(
-        df, per_stratum, stratum_cols, id_col, salt, salt_shards
+    return (
+        _with_stratum_prefix(
+            df, stratum_cols, id_col, salt, skew_buckets,
+            carry_lt=per_stratum,
+        )
+        .where(F.col("_prefix") <= per_stratum)
+        .drop("_prefix")
     )
 
 
@@ -146,11 +204,11 @@ def token_budget_sample(
     token_col: str,
     id_col: str = "doc_id",
     salt: str = "sample-v1",
-    salt_shards: int = 32,
-    assume_min_tokens: int = 1,
+    skew_buckets: int = 1024,
 ) -> DataFrame:
     """Fill each stratum up to a TOKEN budget, not a document count —
-    the unit training runs are actually specified in.
+    the unit training runs are actually specified in.  ``token_col``
+    must be non-negative (it's a count).
 
     Documents are taken in hash order (deterministic,
     layout-independent, same ordering as :func:`stratified_sample`)
@@ -159,40 +217,22 @@ def token_budget_sample(
     single document larger than the whole budget is skipped with the
     rest, by the same rule).
 
-    The cumulative sum is an inherently sequential prefix per stratum,
-    so the skew guard here is a PRE-CAP: only the first
-    ``budget // assume_min_tokens + 1`` documents in hash order can
-    possibly fit (each kept doc contributes ≥ ``assume_min_tokens``
-    tokens, and the cumsum of a row depends only on rows before it),
-    and that prefix is computed with the two-phase skew-safe
-    :func:`_hash_rank_prefix`.  With the default
-    ``assume_min_tokens=1`` the cap is exact for any positive token
-    counts; raise it to your corpus' true minimum doc length to
-    tighten the cap (exact as long as every ``token_col`` ≥ it).
-    ``salt_shards=0`` disables the pre-cap entirely (plain window).
-    """
+    The cumulative sum is an inherently sequential prefix per
+    stratum, so the skew guard is the range-bucket prefix
+    decomposition (module docstring): per-bucket token totals give
+    each bucket a carry-in, the heavy cumsum window runs per
+    (stratum, bucket), and buckets whose carry-in alone exceeds the
+    budget are pruned before the window shuffle (sound because token
+    counts are non-negative, so a row's cumsum is at least its
+    bucket's carry-in).  ``skew_buckets=0`` forces the plain single
+    window; both plans return identical rows."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    if assume_min_tokens < 1:
-        raise ValueError(f"assume_min_tokens must be >= 1, got {assume_min_tokens}")
-    if salt_shards:
-        # phase-1 superset only (exact=False): the cumsum filter below
-        # is itself the exact cut.  Any phase-1-dropped row has ≥ cap
-        # same-shard rows before it, hence global hash rank > cap, and
-        # every row ranked > cap has true cumsum ≥ cap·assume_min_tokens
-        # > budget — so dropped rows could never have been kept, and no
-        # surviving row's cumsum is understated within the kept range.
-        cap = budget // assume_min_tokens + 1
-        df = _hash_rank_prefix(
-            df, cap, stratum_cols, id_col, salt, salt_shards, exact=False
-        )
-    w = (
-        Window.partitionBy(*stratum_cols)
-        .orderBy(_hash_bucket(F.col(id_col), salt), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
-        .where(F.col("_cum") <= budget)
-        .drop("_cum")
+        _with_stratum_prefix(
+            df, stratum_cols, id_col, salt, skew_buckets,
+            val_col=token_col, carry_lt=budget + 1,
+        )
+        .where(F.col("_prefix") <= budget)
+        .drop("_prefix")
     )

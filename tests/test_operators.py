@@ -648,57 +648,68 @@ def test_ivf_kmeans_and_index_broadcast_paths_match(spark, tmp_path):
     assert outs[0] == outs[1]
 
 
-def test_stratified_sample_two_phase_identical_to_single_window(spark):
-    """The skew-guard (two-phase salted rank) must return exactly the
-    rows of the plain single-window plan — for every shard count,
-    including shard counts larger than any stratum."""
+def test_sampling_bucketed_prefix_identical_to_single_window(spark):
+    """The skew guard (range-bucket prefix decomposition) must return
+    exactly the rows of the plain single-window plan — for every
+    bucket count, including counts larger than any stratum, and with
+    a null stratum value (the carry join is null-safe)."""
     from realdeal_spark.operators.sampling import (
         stratified_sample,
         token_budget_sample,
     )
 
-    rows = [(i, f"lang{i % 3}", 10 + (i * 7) % 50) for i in range(500)]
+    rows = [
+        (i, None if i % 11 == 0 else f"lang{i % 3}", 10 + (i * 7) % 50)
+        for i in range(500)
+    ]
     df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens int")
 
     base = sorted(
         r["doc_id"]
-        for r in stratified_sample(df, 20, ["lang"], salt_shards=0).collect()
+        for r in stratified_sample(df, 20, ["lang"], skew_buckets=0).collect()
     )
-    for shards in (2, 32, 1024):
+    assert len(base) == 3 * 20 + 20  # 3 langs + the null stratum
+    for buckets in (2, 32, 4096):
         got = sorted(
             r["doc_id"]
-            for r in stratified_sample(df, 20, ["lang"], salt_shards=shards).collect()
+            for r in stratified_sample(
+                df, 20, ["lang"], skew_buckets=buckets
+            ).collect()
         )
-        assert got == base, shards
+        assert got == base, buckets
 
     tb_base = sorted(
         r["doc_id"]
-        for r in token_budget_sample(df, 400, ["lang"], "n_tokens", salt_shards=0).collect()
+        for r in token_budget_sample(
+            df, 400, ["lang"], "n_tokens", skew_buckets=0
+        ).collect()
     )
-    for shards, amin in ((32, 1), (8, 10)):
+    for buckets in (2, 32, 4096):
         got = sorted(
             r["doc_id"]
             for r in token_budget_sample(
-                df, 400, ["lang"], "n_tokens",
-                salt_shards=shards, assume_min_tokens=amin,
+                df, 400, ["lang"], "n_tokens", skew_buckets=buckets
             ).collect()
         )
-        assert got == tb_base, (shards, amin)
+        assert got == tb_base, buckets
 
 
-def test_stratified_sample_two_phase_plan_has_salted_window(spark):
-    """The giant-stratum guard must actually be in the plan: two
-    window nodes, the first partitioned by (stratum, shard)."""
+def test_sampling_bucketed_prefix_plan_shape(spark):
+    """The skew guard must actually be in the plan: the heavy window
+    partitions by (stratum, range-bucket) — never by the stratum
+    alone — and the carry side arrives pre-filtered to buckets below
+    the cut (the `_carry < cap` bucket prune)."""
     from realdeal_spark.operators.sampling import stratified_sample
 
     df = spark.createDataFrame(
         [(i, "en") for i in range(100)], "doc_id bigint, lang string"
     )
     plan = (
-        stratified_sample(df, 5, ["lang"], salt_shards=16)
+        stratified_sample(df, 5, ["lang"], skew_buckets=16)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Window") >= 2
-    assert "pmod(xxhash64(doc_id" in plan
+    assert plan.count("Window") >= 2  # carry window + bucketed rank window
+    assert "_rb" in plan  # range bucket in the heavy window's partition keys
+    assert "(_carry" in plan and "< 5)" in plan  # bucket prune before the join

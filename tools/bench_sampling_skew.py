@@ -1,17 +1,21 @@
 """Giant-stratum soak for the sampling skew guard (round-4 advice #3).
 
 One stratum holding 50% of all documents is the worst case for the
-per-stratum rank window: the single-window plan sorts that stratum in
-ONE task no matter how many cores exist, while the two-phase
-hash-rank prefix (operators/sampling.py `_hash_rank_prefix`,
-``salt_shards``) spreads it over ``salt_shards`` reducers in phase 1
-and ranks only the bounded survivors in phase 2.
+per-stratum prefix window (rank or running token sum): the
+single-window plan sorts that stratum — payload and all — in ONE
+task no matter how many cores exist, while the range-bucket prefix
+decomposition (operators/sampling.py `_with_stratum_prefix`,
+``skew_buckets``) spreads it over ``skew_buckets`` independent
+window groups and prunes whole buckets past the cut before the
+window shuffle.
 
 This soak builds a synthetic corpus with lang='en' on every second
-row (50% of docs; the other half spread over 9 languages), runs
-``stratified_sample`` and ``token_budget_sample`` through both plans
-at local[CPUS], asserts the row sets are identical, and reports wall
-times + the speedup.  Writes BENCH_SAMPLING_SKEW.md.
+row (50% of docs; the other half spread over 9 languages) carrying a
+realistic ~200-byte payload column (the skew cost is moving/sorting
+payloads, not integers), runs ``stratified_sample`` and
+``token_budget_sample`` through both plans at local[CPUS], asserts
+the row sets are identical, and reports wall times + the speedup.
+Writes BENCH_SAMPLING_SKEW.md.
 
 Usage: python tools/bench_sampling_skew.py [--rows 4000000] [--cpus 32]
 """
@@ -49,7 +53,8 @@ def main() -> None:
         "sampling-skew", master=f"local[{args.cpus}]",
         shuffle_partitions=2 * args.cpus,
     )
-    # 50% of rows in one stratum, the rest across 9 languages
+    # 50% of rows in one stratum, the rest across 9 languages; a
+    # ~200-byte payload makes the straggler's sort cost realistic
     docs = (
         spark.range(args.rows)
         .select(
@@ -58,6 +63,7 @@ def main() -> None:
             .otherwise(F.concat(F.lit("l"), (F.col("id") % 9).cast("string")))
             .alias("lang"),
             (F.col("id") % 97 + 20).alias("n_tokens"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 3).alias("payload"),
         )
         .repartition(4 * args.cpus)
         .localCheckpoint(eager=True)
@@ -76,18 +82,15 @@ def main() -> None:
     for name, fn0, fn32 in [
         (
             "stratified_sample",
-            lambda: stratified_sample(docs, args.per_stratum, ["lang"], salt_shards=0),
-            lambda: stratified_sample(docs, args.per_stratum, ["lang"], salt_shards=32),
+            lambda: stratified_sample(docs, args.per_stratum, ["lang"], skew_buckets=0),
+            lambda: stratified_sample(docs, args.per_stratum, ["lang"]),
         ),
         (
             "token_budget_sample",
             lambda: token_budget_sample(
-                docs, args.budget, ["lang"], "n_tokens", salt_shards=0
+                docs, args.budget, ["lang"], "n_tokens", skew_buckets=0
             ),
-            lambda: token_budget_sample(
-                docs, args.budget, ["lang"], "n_tokens",
-                salt_shards=32, assume_min_tokens=20,
-            ),
+            lambda: token_budget_sample(docs, args.budget, ["lang"], "n_tokens"),
         ),
     ]:
         t_single, n_single = timed(fn0)
@@ -99,35 +102,41 @@ def main() -> None:
         results[name] = {
             "rows": n_single,
             "single_window_sec": round(t_single, 2),
-            "two_phase_sec": round(t_two, 2),
+            "bucketed_sec": round(t_two, 2),
             "speedup": round(t_single / t_two, 2),
         }
 
     md = [
         "# BENCH_SAMPLING_SKEW — giant-stratum soak (round 4)",
         "",
-        f"Corpus: {args.rows:,} synthetic docs, lang='en' on 50% of rows "
-        f"(the giant stratum), 9 other languages sharing the rest; "
-        f"local[{args.cpus}], {2 * args.cpus} shuffle partitions, best of "
-        f"{args.reps} reps, row sets asserted identical between plans.",
+        f"Corpus: {args.rows:,} synthetic docs with a ~200-byte payload "
+        f"column, lang='en' on 50% of rows (the giant stratum), 9 other "
+        f"languages sharing the rest; local[{args.cpus}], "
+        f"{2 * args.cpus} shuffle partitions, best of {args.reps} reps, "
+        f"row sets asserted identical between plans.",
         "",
-        "| operator | single window (salt_shards=0) | two-phase "
-        "(salt_shards=32) | speedup | kept rows |",
+        "| operator | single window (skew_buckets=0) | range-bucket "
+        "prefix (default, 1024 buckets) | speedup | kept rows |",
         "|---|---|---|---|---|",
     ]
     for name, r in results.items():
         md.append(
-            f"| {name} | {r['single_window_sec']} s | {r['two_phase_sec']} s "
+            f"| {name} | {r['single_window_sec']} s | {r['bucketed_sec']} s "
             f"| {r['speedup']}x | {r['rows']:,} |"
         )
     md += [
         "",
-        "The single-window plan serializes the 'en' stratum in one task; "
-        "the two-phase default spreads phase 1 over 32 shards and ranks "
-        "only the bounded survivors (≤ shards × n per stratum) exactly in "
-        "phase 2.  At 100 TB the single-window plan is a straggler by "
-        "construction; the two-phase plan's phase-1 parallelism scales "
-        "with salt_shards.",
+        "The single-window plan sorts the whole 'en' stratum — payload "
+        "included — in one task.  The default plan computes the same "
+        "prefix as a distributed prefix sum over contiguous hash-order "
+        "range buckets: a narrow per-(stratum, bucket) aggregate plans "
+        "each bucket's carry-in, buckets wholly past the cut are pruned "
+        "BEFORE the window shuffle, and the heavy window partitions by "
+        "(stratum, bucket) — so per-reducer work is stratum/1024 and "
+        "shrinks further with the prune.  At 100 TB the single-window "
+        "plan is a straggler by construction; the bucketed plan's "
+        "parallelism scales with skew_buckets and its shuffle volume "
+        "with the kept-set size, not the stratum size.",
     ]
     with open(os.path.join(REPO, "BENCH_SAMPLING_SKEW.md"), "w") as f:
         f.write("\n".join(md) + "\n")

@@ -328,19 +328,24 @@ def main() -> None:
         )
     )
 
-    # round 4: two-phase skew-safe stratified sampling
+    # round 4: range-bucket skew-safe stratified sampling
     from realdeal_spark.operators.sampling import stratified_sample
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sections.append(
         (
-            "Stratified sample (two-phase skew guard)",
-            "Two Window nodes: phase 1 partitions by (stratum, "
-            "pmod(xxhash64(id), shards)) so a giant stratum spreads "
-            "over `salt_shards` reducers; phase 2 ranks exactly over "
-            "the bounded survivors.  Row-identical to the single-window "
-            "plan, minus the straggler.",
-            stratified_sample(docs, 10, ["lang"], salt_shards=32),
+            "Stratified sample (range-bucket prefix skew guard)",
+            "Distributed prefix sum over contiguous hash-order range "
+            "buckets: a narrow groupBy plans each (stratum, bucket)'s "
+            "carry-in on a tiny table (one Window over ≤skew_buckets "
+            "rows per stratum, pre-filtered to `_carry < cap` so "
+            "buckets past the cut are pruned before the join), then "
+            "the heavy Window partitions by (stratum, _rb) — a giant "
+            "stratum spreads over `skew_buckets` independent window "
+            "groups and global rank = carry + within-bucket "
+            "row_number.  Row-identical to the single-window plan, "
+            "minus the straggler.",
+            stratified_sample(docs, 10, ["lang"], skew_buckets=32),
         )
     )
 
