@@ -14,23 +14,29 @@ Additive measures (``count``, ``sum``) form a commutative group, so
 subtraction of pre-images is exact and the advance never touches the
 table.  ``min``/``max`` do NOT form a group (deleting the current max
 invalidates the state), so they advance with a two-regime rule:
-groups touched only by additions combine monotonically
-(``greatest(old, max(added))`` — no table read), while groups that
-LOST a value (any pre-image, i.e. an update or delete hit them) are
-re-aggregated from the target snapshot, restricted to exactly those
-dirty groups via a broadcast semi-join on the dims — O(changed
-groups) output, a dims+measure-column projected scan for input.
+groups combine monotonically (``greatest(old, max(added))`` — no
+table read) unless a pre-image value EQUALS the group's stored
+extreme — losing a non-extreme row provably cannot change min/max,
+so only extreme-hit groups are dirty.  Dirty groups re-aggregate
+from the target snapshot, restricted to exactly those groups via a
+broadcast semi-join on the dims — O(changed groups) output, a
+dims+measure-column projected scan for input.  When no pre-image
+hits an extreme (the common dashboard epoch) the advance skips the
+table read entirely — the check itself is O(changes).
 
 Exact-sum discipline: sums accumulate in DECIMAL(38, scale) (same
 fixed-point trick as the oracle queries) so the maintained state is
 bit-equal to a from-scratch recompute regardless of the order deltas
 arrive in — float sums would drift between the two paths.
 
-Scale shape per advance: one changes read (O(changed files) + a
-bucket-pruned pre-image scan), two narrow groupBys over O(changes)
-rows, one outer join against the previous state keyed by dims.
-State is a DataFrame the caller persists wherever it likes (a
-LakeTable, parquet, memory); the maintenance is pure.
+Scale shape per advance: ONE changes read (O(changed files) + a
+bucket-pruned pre-image scan + a keys/orders-projected carryover
+anti-join), projected to the rollup's columns and materialized once
+(O(changes) rows, localCheckpoint) so the several subtrees that
+consume it don't each re-run the feed; then two narrow groupBys over
+O(changes) rows and one outer join against the previous state keyed
+by dims.  State is a DataFrame the caller persists wherever it likes
+(a LakeTable, parquet, memory).
 """
 
 from __future__ import annotations
@@ -143,6 +149,22 @@ def rollup_advance(
     ch = table.read_changes(
         from_version, to_version, include_preimage=True
     )
+    # The feed plan is not free (delta-file scan, two winner-finds, a
+    # keys/orders-projected anti-join against the old snapshot, the
+    # pre-image lookup) and this function references it in several
+    # subtrees (add/sub aggregates, the monotone extreme, the dirty
+    # probe).  Project it down to the rollup's columns and materialize
+    # ONCE — O(changes) rows, bounded by the epoch admission cap — so
+    # the advance pays for the feed exactly one time instead of once
+    # per subtree.
+    feed_cols = list(
+        dict.fromkeys(
+            [*dims]
+            + [m.col for m in measures if m.col]
+            + ["change_type"]
+        )
+    )
+    ch = ch.select(*feed_cols).localCheckpoint(eager=True)
     add = ch.where(F.col("change_type") == "upsert")
     sub = ch.where(F.col("change_type") == "update_preimage")
     delta = (
@@ -167,30 +189,67 @@ def rollup_advance(
     if extrema:
         # monotone side: per-dim extreme of the ADDED rows only
         add_ext = add.groupBy(*dims).agg(*_extrema_exprs(extrema, "_add_"))
-        # dirty side: any group that LOST a value (update or delete
-        # pre-image) may have lost its extreme — re-aggregate those
-        # groups from the target snapshot, pruned to the dirty dims
-        # via a broadcast semi-join (changes-bounded, so broadcastable)
-        dirty = sub.select(*dims).distinct()
-        need_cols = list(
-            dict.fromkeys(list(dims) + [m.col for m in extrema])
-        )
-        rescan = (
-            table.read(version=to_version)
-            .select(*need_cols)
-            .join(F.broadcast(dirty), on=list(dims), how="left_semi")
-            .groupBy(*dims)
-            .agg(*_extrema_exprs(extrema, "_rs_"))
-        )
-        merged = (
-            merged.join(add_ext.alias("a"), on=list(dims), how="full_outer")
-            .join(
-                dirty.withColumn("_dirty", F.lit(True)).alias("dd"),
+        # dirty side: a group must re-aggregate only if a pre-image
+        # HIT the stored extreme — losing a non-extreme value cannot
+        # change min/max (the extreme row provably survived, so the
+        # monotone combine with the added side stays exact).  Sound
+        # under the feed's net semantics: pre-images are from_version
+        # values, so comparing them to the from_version state is an
+        # exact was-this-the-extreme test; transient intra-interval
+        # extremes never appear in either endpoint's state or feed.
+        # This keeps the rescan OFF for the common dashboard epoch
+        # (deletes/updates rarely touch a group's extreme row).
+        # plain equality: a null pre-image value can never be the
+        # (non-null) extreme, and an all-null group's extreme cannot
+        # change by losing rows — no rescan needed either way
+        hit = F.lit(False)
+        for m in extrema:
+            hit = hit | (F.col(m.col) == F.col(f"_st_{m.alias}"))
+        dirty = (
+            sub.join(
+                state.select(
+                    *dims,
+                    *[
+                        F.col(m.alias).alias(f"_st_{m.alias}")
+                        for m in extrema
+                    ],
+                ),
                 on=list(dims),
-                how="full_outer",
+                how="inner",
             )
-            .join(rescan.alias("r"), on=list(dims), how="left_outer")
+            .where(hit)
+            .select(*dims)
+            .distinct()
         )
+        if dirty.isEmpty():
+            # purely-monotone advance: no table read at all — the
+            # common dashboard epoch (the isEmpty action itself is
+            # O(changes): one groupBy-distinct joined with the state)
+            merged = merged.join(
+                add_ext.alias("a"), on=list(dims), how="full_outer"
+            ).withColumn("_dirty", F.lit(False))
+            for m in extrema:
+                merged = merged.withColumn(f"_rs_{m.alias}", F.lit(None))
+        else:
+            need_cols = list(
+                dict.fromkeys(list(dims) + [m.col for m in extrema])
+            )
+            rescan = (
+                table.read(version=to_version)
+                .select(*need_cols)
+                .join(F.broadcast(dirty), on=list(dims), how="left_semi")
+                .groupBy(*dims)
+                .agg(*_extrema_exprs(extrema, "_rs_"))
+            )
+            merged = (
+                merged.join(add_ext.alias("a"), on=list(dims), how="full_outer")
+                .join(
+                    dirty.withColumn("_dirty", F.lit(True)).alias("dd"),
+                    on=list(dims),
+                    how="full_outer",
+                )
+                .join(rescan.alias("r"), on=list(dims), how="left_outer")
+            )
     cols = [F.col(d) for d in dims]
     for m in measures:
         if m.kind in _ADDITIVE:

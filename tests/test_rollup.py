@@ -270,6 +270,71 @@ def test_rollup_minmax_rescan_is_pruned_to_dirty_groups(spark, tmp_path):
     assert _rows_mm(out) == _rows_mm(rollup_full(t, ["cat"], MEASURES_MM))
 
 
+def test_rollup_minmax_no_extreme_hit_skips_table_read(spark, tmp_path):
+    """Losing a NON-extreme row can't change min/max, so such an
+    advance must take the purely-monotone path: no table read at all
+    (proven by making `read` raise), while still matching recompute."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),   # x: min_v source
+        (2, "insert", "b", 20, "x", 5.0),   # x: mid row
+        (3, "insert", "c", 30, "x", 9.0),   # x: max_ts source
+        (4, "insert", "d", 40, "y", 2.0),
+    ]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES_MM, version=v1).localCheckpoint(
+        eager=True
+    )
+    merge_apply(t, _ev(spark, [
+        (5, "delete", "b", 50, None, None),      # x loses a NON-extreme row
+        (6, "insert", "e", 60, "x", 4.0),        # plus a plain insert
+    ]))
+    v2 = t.current_version()
+    expected = _rows_mm(rollup_full(t, ["cat"], MEASURES_MM, version=v2))
+
+    real_read = t.read
+
+    def poisoned_read(*a, **kw):
+        raise AssertionError("advance touched the table despite no extreme hit")
+
+    t.read = poisoned_read
+    try:
+        inc = rollup_advance(t, state, v1, v2, ["cat"], MEASURES_MM)
+        got = _rows_mm(inc)
+    finally:
+        t.read = real_read
+    assert got == expected
+
+
+def test_rollup_minmax_extreme_hit_triggers_rescan_only_for_hit_group(
+    spark, tmp_path
+):
+    """Deleting a group's stored extreme marks exactly that group
+    dirty; other groups with pre-images stay on the monotone path."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),
+        (2, "insert", "b", 20, "x", 5.0),
+        (3, "insert", "c", 30, "y", 2.0),
+        (4, "insert", "d", 40, "y", 7.0),
+    ]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES_MM, version=v1).localCheckpoint(
+        eager=True
+    )
+    merge_apply(t, _ev(spark, [
+        (5, "delete", "b", 50, None, None),   # x loses max_ts source → dirty
+        (6, "update", "d", 60, "y", 6.5),     # y pre-image (40, 7.0): ts not
+                                              # y's... 40 IS y's max_ts → dirty
+        (7, "update", "c", 70, "y", 2.5),     # y again
+    ]))
+    v2 = t.current_version()
+    inc = rollup_advance(t, state, v1, v2, ["cat"], MEASURES_MM)
+    assert _rows_mm(inc) == _rows_mm(
+        rollup_full(t, ["cat"], MEASURES_MM, version=v2)
+    )
+
+
 def test_rollup_maintainer_persists_and_resumes(spark, tmp_path):
     """The standing-consumer shape: refresh() after each epoch, state
     persisted per table version; a RESTARTED maintainer resumes from

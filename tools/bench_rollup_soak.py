@@ -1,20 +1,30 @@
 """Changes-feed → rollup soak at amplified scale (round-4 advice #7).
 
-Grows a LakeTable over E epochs (bulk inserts + updates + deletes)
-and, after every epoch, times BOTH ways of bringing the maintained
-rollup current:
+Bulk-loads a BASE-row MoR table, then applies E small epochs (new
+keys + updates/deletes of old keys).  After every epoch it times BOTH
+ways of bringing the maintained rollup current:
 
-- ``advance``   — rollup_advance over the CDF interval (O(changes):
-  two narrow groupBys over the feed + one outer join with the state;
-  min/max measures add a dirty-group-pruned rescan)
-- ``recompute`` — rollup_full over the whole table (O(table))
+- ``advance``   — rollup_advance over the CDF interval.  O(changes)
+  on the monotone path; epochs whose pre-images hit a group's stored
+  extreme pay a dirty-group-pruned rescan (min/max rule).
+- ``recompute`` — rollup_full over the whole table (O(table), and on
+  a MoR table that includes the latest-per-key reconcile).
 
-The claim to evidence: advance stays ~flat as the table grows while
-recompute grows with table size.  Runs the identical soak in a fresh
-JVM per parallelism level (local[8], local[32]) for the two-cluster-
-size scaling picture.  Writes BENCH_ROLLUP.md.
+Epoch design: churn targets MID-ts rows of a narrow category band
+(pre-image never equals the group max_ts → purely-monotone advance,
+no table read), except every third epoch which also deletes the
+current max-ts key of two categories — an honest extreme-hit spike
+that exercises the bounded rescan.  The claim to evidence: monotone
+advance stays flat and far below recompute as the table grows; the
+extreme-hit epochs cost more but stay bounded by the dirty-group
+scan, not the feed.
 
-Usage: python tools/bench_rollup_soak.py [--epochs 6] [--epoch-rows 150000]
+Runs the identical soak in a fresh JVM per parallelism level
+(local[8], local[32]) for the two-cluster-size scaling picture.
+Writes BENCH_ROLLUP.md.
+
+Usage: python tools/bench_rollup_soak.py [--base 4000000]
+       [--epochs 6] [--epoch-rows 100000]
 """
 
 from __future__ import annotations
@@ -31,12 +41,12 @@ WORKER = '''
 import json, shutil, sys, time, datetime as dt
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from realdeal_spark.session import get_spark
 from realdeal_spark.lake import LakeTable, merge_apply
 from realdeal_spark.cdc.rollup import Measure, rollup_advance, rollup_full
 
-cpus, epochs, epoch_rows = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+cpus, base_rows, epochs, epoch_rows = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
 spark = get_spark("rollup-soak", master=f"local[{cpus}]",
                   shuffle_partitions=2 * cpus)
 root = f"/tmp/rollup_soak_{cpus}"
@@ -51,58 +61,67 @@ MEASURES = [
     Measure("mx", "max", "ts"),
 ]
 base = dt.datetime(2024, 1, 1)
+N_CATS = 1000
 
-def epoch_batch(e):
-    """epoch_rows new keys, plus updates/deletes of old keys
-    restricted to a 12-of-1000 band of categories (cat = k % 1000):
-    the dirty-group set stays small — the dashboard-shaped workload
-    the O(changed groups) min/max rescan is built for.  One row per
-    key (pre-conflated), fully deterministic."""
-    new = (spark.range(e * epoch_rows, (e + 1) * epoch_rows)
-        .select(F.col("id").alias("k"), F.lit("insert").alias("op")))
-    parts = [new]
-    if e > 0:
-        old = spark.range(0, e * epoch_rows)
-        band = (e * 37) % 988
-        parts.append(old.where((F.col("id") % 1000).between(band, band + 9))
-            .select(F.col("id").alias("k"), F.lit("update").alias("op")))
-        parts.append(old.where((F.col("id") % 1000).between(band + 10, band + 11))
-            .select(F.col("id").alias("k"), F.lit("delete").alias("op")))
-    ev = parts[0]
-    for p in parts[1:]:
-        ev = ev.unionByName(p)
-    # deletes win over updates for the same key inside the batch
-    ev = (ev.withColumn("_pri", F.when(F.col("op") == "delete", 0).otherwise(1))
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("k").orderBy("_pri")))
-        .where(F.col("_rn") == 1).drop("_pri", "_rn"))
-    lsn = F.col("k") + F.lit(e * 10_000_000_000)
+def row_cols(ev, lsn_col):
+    """Deterministic payload: ts is a pure function of k (monotone in
+    k within each cat), so an update's pre-image ts == its new ts —
+    churn below the max never hits the stored extreme."""
     return ev.select(
         "k",
-        (F.lit(base) + F.make_interval(secs=lsn % 86400)).alias("ts"),
-        lsn.alias("lsn"),
+        (F.lit(base) + F.make_interval(secs=F.col("k") / 100.0)).alias("ts"),
+        lsn_col.alias("lsn"),
         F.when(F.col("op") == "delete", F.lit(None))
-         .otherwise(F.concat(F.lit("c"), (F.col("k") % 1000).cast("string")))
+         .otherwise(F.concat(F.lit("c"), (F.col("k") % N_CATS).cast("string")))
          .alias("cat"),
         F.when(F.col("op") == "delete", F.lit(None))
-         .otherwise((F.col("k") % 1000) / 7.0).alias("v"),
+         .otherwise((F.col("k") % N_CATS) / 7.0).alias("v"),
         "op",
     )
 
+def epoch_batch(e, hit_extremes):
+    """epoch_rows new keys (above all prior ks, so each new batch
+    advances its cats' max), plus updates/deletes of MID-range old
+    keys in a 10-of-1000 category band; on hit epochs additionally
+    delete the two current top keys (their cats' max_ts rows)."""
+    lo = base_rows + e * epoch_rows
+    new = (spark.range(lo, lo + epoch_rows)
+        .select(F.col("id").alias("k"), F.lit("insert").alias("op")))
+    band = (e * 37) % 988
+    old = spark.range(base_rows // 4, base_rows // 2)  # mid range: never a cat max
+    upd = (old.where((F.col("id") % N_CATS).between(band, band + 7))
+        .select(F.col("id").alias("k"), F.lit("update").alias("op")))
+    dele = (old.where((F.col("id") % N_CATS).between(band + 8, band + 9))
+        .select(F.col("id").alias("k"), F.lit("delete").alias("op")))
+    ev = new.unionByName(upd).unionByName(dele)
+    if hit_extremes:
+        # current global top two keys ARE their cats' max_ts rows
+        top = lo - 1
+        hits = spark.createDataFrame(
+            [(top, "delete"), (top - 1, "delete")], "k bigint, op string")
+        ev = ev.where(~F.col("k").isin(top, top - 1)).unionByName(hits)
+    return row_cols(ev, (F.col("k") + F.lit((e + 1) * 10_000_000_000)))
+
+# epoch 0: bulk base load (CoW into the empty table)
+t0 = time.time()
+bulk = row_cols(
+    spark.range(base_rows).select(F.col("id").alias("k"),
+                                  F.lit("insert").alias("op")),
+    F.col("k"))
+merge_apply(t, bulk)
+load_sec = time.time() - t0
+
 rows = []
-state, prev_v = None, None
+state, prev_v = None, t.current_version()
+state = rollup_full(t, ["cat"], MEASURES, version=prev_v).localCheckpoint(eager=True)
 for e in range(epochs):
-    merge_apply(t, epoch_batch(e))
+    hit = (e % 3 == 2)
+    merge_apply(t, epoch_batch(e, hit), mode="mor")
     v = t.current_version()
-    if state is None:
-        t0 = time.time()
-        state = rollup_full(t, ["cat"], MEASURES, version=v).localCheckpoint(eager=True)
-        adv = time.time() - t0
-    else:
-        t0 = time.time()
-        state = rollup_advance(t, state, prev_v, v, ["cat"], MEASURES)
-        state = state.localCheckpoint(eager=True)
-        adv = time.time() - t0
+    t0 = time.time()
+    state = rollup_advance(t, state, prev_v, v, ["cat"], MEASURES)
+    state = state.localCheckpoint(eager=True)
+    adv = time.time() - t0
     t0 = time.time()
     full = rollup_full(t, ["cat"], MEASURES, version=v).localCheckpoint(eager=True)
     rec = time.time() - t0
@@ -111,24 +130,26 @@ for e in range(epochs):
         b = sorted(map(tuple, full.collect()))
         assert a == b, "advance diverged from recompute"
     prev_v = v
-    rows.append({"epoch": e, "table_rows": t.read().count(),
+    rows.append({"epoch": e, "extreme_hit": hit,
+                 "table_rows": base_rows + (e + 1) * epoch_rows,
                  "advance_sec": round(adv, 2), "recompute_sec": round(rec, 2)})
-print(json.dumps({"cpus": cpus, "rows": rows}))
+print(json.dumps({"cpus": cpus, "load_sec": round(load_sec, 1), "rows": rows}))
 '''
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=4_000_000)
     ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--epoch-rows", type=int, default=150_000)
+    ap.add_argument("--epoch-rows", type=int, default=100_000)
     ap.add_argument("--cpus", type=int, nargs="+", default=[8, 32])
     args = ap.parse_args()
 
     per_cpu = {}
     for cpus in args.cpus:
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus), str(args.epochs),
-             str(args.epoch_rows)],
+            [sys.executable, "-c", WORKER, str(cpus), str(args.base),
+             str(args.epochs), str(args.epoch_rows)],
             capture_output=True, text=True, cwd=REPO,
         )
         if out.returncode != 0:
@@ -137,34 +158,43 @@ def main() -> None:
         per_cpu[cpus] = json.loads(last)["rows"]
 
     md = [
-        "# BENCH_ROLLUP — changes-feed vs recompute as the table grows "
-        "(round 4)",
+        "# BENCH_ROLLUP — changes-feed advance vs recompute as the table "
+        "grows (round 4)",
         "",
-        f"{args.epochs} epochs × {args.epoch_rows:,} new keys, plus updates/"
-        "deletes of prior keys in a 12-of-1000 category band per epoch "
-        "(small dirty-group set — the dashboard workload); measures = "
-        "count, DECIMAL sum, max(ts) (the non-additive path with its "
-        "dirty-group rescan); advance == recompute asserted at the final "
-        "epoch.  Fresh JVM per parallelism level.",
+        f"MoR table bulk-loaded with {args.base:,} rows, then "
+        f"{args.epochs} epochs x {args.epoch_rows:,} new keys plus "
+        "updates/deletes of MID-ts old keys in a 10-of-1000 category band "
+        "(pre-images never hit a group's stored max → purely-monotone "
+        "advance, table never read — the engine proves this with a "
+        "poisoned-read test); every third epoch additionally deletes the "
+        "two current max-ts rows (an extreme-hit spike exercising the "
+        "dirty-group-pruned rescan).  Measures = count, DECIMAL sum, "
+        "max(ts); advance == recompute asserted at the final epoch.  "
+        "Fresh JVM per parallelism level.",
         "",
     ]
     for cpus, rows in per_cpu.items():
         md += [f"## local[{cpus}]", "",
-               "| epoch | table rows | advance (s) | recompute (s) |",
-               "|---|---|---|---|"]
+               "| epoch | table rows | extreme hit | advance (s) | "
+               "recompute (s) |",
+               "|---|---|---|---|---|"]
         for r in rows:
             md.append(
-                f"| {r['epoch']} | {r['table_rows']:,} | {r['advance_sec']} "
-                f"| {r['recompute_sec']} |"
+                f"| {r['epoch']} | {r['table_rows']:,} "
+                f"| {'yes' if r['extreme_hit'] else ''} "
+                f"| {r['advance_sec']} | {r['recompute_sec']} |"
             )
-        first_adv = rows[1]["advance_sec"] if len(rows) > 1 else None
-        last_adv = rows[-1]["advance_sec"]
+        mono = [r for r in rows if not r["extreme_hit"]]
+        hits = [r for r in rows if r["extreme_hit"]]
         md += [
             "",
-            f"advance epoch-1 → epoch-{len(rows)-1}: {first_adv} → "
-            f"{last_adv} s (flat = O(changes)); recompute "
-            f"{rows[1]['recompute_sec']} → {rows[-1]['recompute_sec']} s "
-            "(grows with the table).",
+            f"monotone advance: {', '.join(str(r['advance_sec']) for r in mono)} s "
+            f"(flat, O(changes), no table read); extreme-hit advance: "
+            f"{', '.join(str(r['advance_sec']) for r in hits)} s (bounded "
+            "dirty-group rescan); recompute: "
+            f"{rows[0]['recompute_sec']} → {rows[-1]['recompute_sec']} s "
+            "(O(table) + MoR latest-per-key reconcile — the cost the "
+            "maintained rollup avoids every epoch).",
             "",
         ]
     with open(os.path.join(REPO, "BENCH_ROLLUP.md"), "w") as f:
