@@ -1475,6 +1475,77 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=4)
 
 
+def q_knn_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained secondary index (similarity.py
+    ivf_index_advance): load the embeddings into a LakeTable, build
+    the persisted IVF index stamped with the table version, apply one
+    CDC epoch (negate every vec_id%5==0 vector, insert reversed
+    copies of vec_id%11==2 under new ids, delete vec_id%7==3), then
+    advance the index through the changes feed — O(changes +
+    affected cells), never a rebuild — and answer from it.  Oracle =
+    the IVF SQL with centroids pinned to the ORIGINAL corpus and the
+    cell corpus set to the post-epoch state."""
+    import shutil
+    import tempfile
+
+    from realdeal_spark.lake import LakeTable
+    from realdeal_spark.lake.merge import merge_apply
+    from realdeal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_advance,
+        ivf_knn_indexed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    root = tempfile.mkdtemp(prefix="rds_ivfm_t_")
+    shutil.rmtree(root)
+    t = LakeTable.create(
+        spark, root, "vec_id bigint, lsn bigint, embedding array<double>",
+        key_columns=["vec_id"], order_columns=["lsn"],
+        n_buckets=8, soft_delete=True,
+    )
+    merge_apply(
+        t,
+        e.select(
+            "vec_id", F.lit(1).alias("lsn").cast("bigint"), "embedding",
+            F.lit("insert").alias("op"),
+        ),
+    )
+    idx = tempfile.mkdtemp(prefix="rds_ivfm_x_")
+    shutil.rmtree(idx)
+    build_ivf_index(
+        t.read().select("vec_id", "embedding"), idx, n_lists=16,
+        table_version=t.current_version(),
+    )
+    neg = F.transform("embedding", lambda x: -x).alias("embedding")
+    epoch = (
+        e.where(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.lit(2).cast("bigint").alias("lsn"), neg,
+                F.lit("update").alias("op"))
+        .unionByName(
+            e.where(F.col("vec_id") % 11 == 2).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.lit(2).cast("bigint").alias("lsn"),
+                F.reverse("embedding").alias("embedding"),
+                F.lit("insert").alias("op"),
+            )
+        )
+        .unionByName(
+            e.where(F.col("vec_id") % 7 == 3).select(
+                "vec_id", F.lit(3).cast("bigint").alias("lsn"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    merge_apply(t, epoch)
+    ivf_index_advance(t, idx)
+    queries = t.read().where(F.col("vec_id") < 5)
+    return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant + multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1911,13 +1982,20 @@ from ranked where rank <= {k}
 
 
 def _knn_ivf_sql(
-    k: int = 5, n_lists: int = 16, nprobe: int = 4, dim: int = 64
+    k: int = 5, n_lists: int = 16, nprobe: int = 4, dim: int = 64,
+    state_sql: str = "select vec_id, v from v",
 ) -> str:
     """Oracle for IVF ANN.  Centroids = the n_lists lowest-id vectors
     (cid = the seed's vec_id); cell ranking = row_number over
     (round(cos,6) DESC, cid ASC) — the same order as Spark's
     array_sort over struct(-round(cos,6), cid).  rn=1 assigns the
-    corpus, rn<=nprobe is the probe set for the query rows."""
+    corpus, rn<=nprobe is the probe set for the query rows.
+
+    ``state_sql`` is the corpus the cells are built over (a SELECT of
+    (vec_id, v) in terms of the base CTE ``v``) — the maintained-index
+    oracle points it at the post-CDC-epoch state while ``cent`` stays
+    pinned to the ORIGINAL corpus, mirroring an index whose centroids
+    were fixed at build time."""
     dot_vc = _dot_sql("a.v", "c.cv")
     nv = _dot_sql("a.v", "a.v")
     ncv = _dot_sql("c.cv", "c.cv")
@@ -1927,10 +2005,11 @@ def _knn_ivf_sql(
     return f"""
 with v as (select vec_id, {_VEC_SQL} as v from embeddings),
 cent as (select vec_id as cid, v as cv from v order by vec_id limit {n_lists}),
+cur as ({state_sql}),
 cells as (
   select a.vec_id, a.v, c.cid,
          round({dot_vc} / (sqrt({nv}) * sqrt({ncv})), 6) as cos
-  from v a cross join cent c),
+  from cur a cross join cent c),
 ranked_cells as (
   select *, row_number() over (partition by vec_id
                                order by cos desc, cid asc) as rn
@@ -2061,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "knn_ivf_broadcast": q_knn_ivf_broadcast,
+        "knn_ivf_maintained": q_knn_ivf_maintained,
     }
 
 
@@ -2508,6 +2588,18 @@ select doc_id, lang, n_tokens from c where cum <= 2000
         "knn_ivf": _knn_ivf_sql(5),
         "knn_ivf_indexed": _knn_ivf_sql(5),
         "knn_ivf_broadcast": _knn_ivf_sql(5),
+        "knn_ivf_maintained": _knn_ivf_sql(
+            5,
+            state_sql="""
+select vec_id, v from v where vec_id % 7 <> 3 and vec_id % 5 <> 0
+union all
+select vec_id, list_transform(v, x -> -x) as v from v
+where vec_id % 5 = 0 and vec_id % 7 <> 3
+union all
+select vec_id + 100000 as vec_id, list_reverse(v) as v from v
+where vec_id % 11 = 2
+""",
+        ),
         "extract_html_text": """
 select doc_id,
        trim(regexp_replace(text, '[ \\t\\r\\f\\x0b]+', ' ', 'g')) as text_out

@@ -333,11 +333,24 @@ class RollupMaintainer:
         """Table version the maintained state reflects."""
         return self._version
 
-    def refresh(self) -> DataFrame:
-        """Advance to the table's current version and return the
-        state.  No-op (cheap) if already current."""
-        cur = self.table.current_version()
-        if self._version == cur and self._state is not None:
+    def refresh(self, to_version: int | None = None) -> DataFrame:
+        """Advance to the table's current version (or to an explicit
+        ``to_version`` — the streaming-consumer path, where each
+        micro-batch targets its descriptor's interval end) and return
+        the state.  No-op (cheap) if already at or past the target —
+        a replayed micro-batch after restart must not regress the
+        state, which makes this handler idempotent under exactly-once
+        replay."""
+        cur = (
+            self.table.current_version()
+            if to_version is None
+            else int(to_version)
+        )
+        if (
+            self._version is not None
+            and cur <= self._version
+            and self._state is not None
+        ):
             return self._state
         resumable = self._state is not None
         if resumable:

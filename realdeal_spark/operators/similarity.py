@@ -572,6 +572,8 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    table_version: int | None = None,
 ) -> dict:
     """Materialize an IVF index: cell assignments as parquet bucketed
     by ``list_id`` plus a centroid sidecar (JSON).
@@ -586,20 +588,28 @@ def build_ivf_index(
 
     ``kmeans_iters > 0`` refines the deterministic seeds with
     distributed Lloyd before assigning.  Returns the centroid list
-    (also persisted to ``<index_dir>/centroids.json``)."""
+    (also persisted to ``<index_dir>/centroids.json``).
+
+    ``centroids`` pins the cell geometry instead of seeding/refining
+    from the corpus — the rebuild-for-comparison path of
+    :func:`ivf_index_advance` (an advanced index must equal a rebuild
+    over the SAME centroids; reseeding would move the goalposts).
+    ``table_version`` stamps the snapshot of the source LakeTable the
+    index reflects, which is what makes the index advanceable."""
     import json
     import os
 
-    centroids = ivf_seed_centroids(corpus, n_lists, vec_col, id_col)
-    if kmeans_iters:
-        centroids = kmeans_refine(
-            corpus,
-            centroids,
-            n_iter=kmeans_iters,
-            vec_col=vec_col,
-            id_col=id_col,
-            assign=assign,
-        )
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_lists, vec_col, id_col)
+        if kmeans_iters:
+            centroids = kmeans_refine(
+                corpus,
+                centroids,
+                n_iter=kmeans_iters,
+                vec_col=vec_col,
+                id_col=id_col,
+                assign=assign,
+            )
     assigned = (
         _attach_ranking(
             corpus.select(
@@ -623,9 +633,166 @@ def build_ivf_index(
         "n_lists": len(centroids),
         "centroids": [[cid, cv] for cid, cv in centroids],
     }
+    if table_version is not None:
+        meta["table_version"] = int(table_version)
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def ivf_index_advance(
+    table,
+    index_dir: str,
+    to_version: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+) -> dict:
+    """Advance a persisted IVF index to a newer LakeTable snapshot
+    using ONLY the changes feed — the CDC-maintained secondary index.
+
+    A 10^10-vector index cannot be rebuilt per epoch (O(corpus)
+    assignment + a full rewrite).  This advances it in
+    O(changes + affected cells): the Delta-CDF feed
+    (``read_changes(include_preimage=True)``) yields each changed
+    key's NEW vector and its OLD vector, and because cell assignment
+    is a pure function of (vector, centroids), the old vector tells
+    us exactly which cell the stale entry lives in — no inverted
+    lookup, no index scan.  Only the union of old-cells and
+    new-cells is rewritten: stale entries drop via a broadcast
+    anti-join on the changed keys (O(changes)), fresh entries come
+    from assigning the upserts (map-only, literal or broadcast
+    centroids — same bit-identical ranking as the build).  Untouched
+    cells keep their files byte-for-byte, so concurrent readers keep
+    their partition-pruning economics and the advance's write cost is
+    O(corpus x affected_cells / n_lists), not O(corpus).
+
+    Centroids are pinned (cell geometry never moves); queries through
+    :func:`ivf_knn_indexed` are oblivious to how current the index
+    is.  Contract (tested): advance(v1→v2) == build at v2 over the
+    same centroids, cell for cell.  Rewrites stage to a temp dir and
+    swap per-partition, and the sidecar version is stamped LAST, so a
+    crashed advance simply re-runs: removals anti-join and re-adds
+    overwrite, making the advance idempotent.
+
+    Rows whose ``vec_col`` is null are dropped from the index (a
+    vector-less key cannot be a neighbor); a key whose embedding
+    BECOMES null is treated as a delete of its index entry.
+
+    Reference analogue: none — the reference re-scrapes and re-renders
+    whole reports per run (generate_report.py); incremental secondary
+    -index maintenance is the Spark-first recast of "keep derived
+    artifacts current without recomputing them".
+    """
+    import json
+    import os
+    import shutil
+
+    spark = table.spark
+    meta_path = os.path.join(index_dir, "centroids.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if "table_version" not in meta:
+        raise ValueError(
+            "index carries no table_version — build it with "
+            "build_ivf_index(..., table_version=...) to make it advanceable"
+        )
+    from_v = int(meta["table_version"])
+    if to_version is None:
+        to_version = table.current_version()
+    stats = {"from_version": from_v, "to_version": int(to_version)}
+    if int(to_version) == from_v:
+        return {**stats, "advanced": False, "affected_cells": 0}
+    centroids = [
+        (int(cid), [float(x) for x in cv]) for cid, cv in meta["centroids"]
+    ]
+
+    # ONE feed computation (same discipline as cdc.rollup): project to
+    # (key, vector, change_type) and materialize — O(changes) rows.
+    ch = (
+        table.read_changes(from_v, to_version, include_preimage=True)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+            "change_type",
+        )
+        .localCheckpoint(eager=True)
+    )
+    changed_ids = (
+        ch.where(F.col("change_type") != "update_preimage")
+        .select("vec_id")
+        .distinct()
+    )
+
+    def _assigned(df: DataFrame) -> DataFrame:
+        return (
+            _attach_ranking(
+                df.withColumn(
+                    "_nv", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                ),
+                "embedding",
+                "_nv",
+                centroids,
+                assign,
+            )
+            .withColumn("list_id", F.element_at(F.col("_rk"), 1)["cid"])
+            .drop("_nv", "_rk")
+        )
+
+    upserts = _assigned(
+        ch.where(
+            (F.col("change_type") == "upsert")
+            & F.col("embedding").isNotNull()
+        )
+    )
+    pre = _assigned(
+        ch.where(
+            (F.col("change_type") == "update_preimage")
+            & F.col("embedding").isNotNull()
+        )
+    )
+    affected = sorted(
+        r["list_id"]
+        for r in upserts.select("list_id")
+        .union(pre.select("list_id"))
+        .distinct()
+        .collect()
+        if r["list_id"] is not None
+    )  # metadata-sized: bounded by min(2 x changed keys, n_lists)
+    stats["affected_cells"] = len(affected)
+    stats["affected_list_ids"] = [int(x) for x in affected]
+    cells_dir = os.path.join(index_dir, "cells")
+    emptied = 0
+    if affected:
+        survivors = (
+            spark.read.parquet(cells_dir)
+            .where(F.col("list_id").isin(affected))
+            .join(F.broadcast(changed_ids), on="vec_id", how="left_anti")
+        )
+        out = survivors.select("vec_id", "embedding", "list_id").unionByName(
+            upserts.select("vec_id", "embedding", "list_id")
+        )
+        # stage, then swap per partition: the scan above reads the live
+        # cell files, so never overwrite them in place mid-plan
+        staging = os.path.join(index_dir, "cells.staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        out.write.partitionBy("list_id").mode("overwrite").parquet(staging)
+        for lid in affected:
+            src = os.path.join(staging, f"list_id={lid}")
+            dst = os.path.join(cells_dir, f"list_id={lid}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:  # every row of the cell was deleted this interval
+                emptied += 1
+        shutil.rmtree(staging, ignore_errors=True)
+    stats["emptied_cells"] = emptied
+    meta["table_version"] = int(to_version)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return {**stats, "advanced": True}
 
 
 def ivf_knn_indexed(
