@@ -24,5 +24,18 @@ addressing is replaced by key-equality MERGE over bucketed files.
 
 from realdeal_spark.lake.table import LakeTable
 from realdeal_spark.lake.merge import merge_apply
+from realdeal_spark.lake.inspect import (
+    files_df,
+    maintenance_plan,
+    partitions_df,
+    snapshots_df,
+)
 
-__all__ = ["LakeTable", "merge_apply"]
+__all__ = [
+    "LakeTable",
+    "files_df",
+    "maintenance_plan",
+    "merge_apply",
+    "partitions_df",
+    "snapshots_df",
+]

@@ -1,0 +1,225 @@
+"""Metadata inspection tables + maintenance planner (Iceberg's
+``table.snapshots`` / ``table.files`` / ``table.partitions`` metadata
+tables, recast for the LakeTable format).
+
+An operator of a 100-TB table needs to ask "how many snapshots am I
+holding?", "which buckets are fragmenting?", "where are MoR deltas
+piling up?" WITHOUT scanning data.  Everything here reads only the
+per-version JSON manifests (O(files-in-metadata) driver work — the
+same cost class as commit/expire itself, because in this format the
+manifest IS one JSON per version) plus ``os.path.getsize`` on data
+files, never a row of table data.  The results come back as
+DataFrames so they compose with the rest of the engine (join the plan
+against a rollup, window over snapshot history, ...).
+
+Reference analogue: none — the reference's storage is an opaque
+remote service (realdeal/fusion_tables_client.py); self-describing
+table metadata is part of what a lake format adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+_FILES_SCHEMA = (
+    "version int, bucket int, path string, generation int, "
+    "schema_version int, mor boolean, bytes bigint, stats string"
+)
+
+_SNAPSHOTS_SCHEMA = (
+    "version int, parent int, operation string, n_buckets int, "
+    "n_files bigint, total_bytes bigint, mor_files bigint, "
+    "n_applied_epochs int, current_schema int, n_schema_versions int, "
+    "soft_delete boolean"
+)
+
+_PARTITIONS_SCHEMA = (
+    "bucket int, n_files bigint, total_bytes bigint, mor_files bigint, "
+    "n_generations int, small_files bigint"
+)
+
+_PLAN_SCHEMA = "scope string, target string, action string, reason string"
+
+
+def _gen(path: str) -> int:
+    m = re.search(r"delta-(\d+)", path)
+    return int(m.group(1)) if m else 0
+
+
+def _file_rows(table, snap) -> list[tuple]:
+    rows = []
+    for b, fl in sorted(snap.files.items(), key=lambda kv: int(kv[0])):
+        for fe in fl:
+            full = os.path.join(table.root, fe["path"])
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                size = -1  # referenced but missing — surfaced, not hidden
+            rows.append(
+                (
+                    snap.version,
+                    int(b),
+                    fe["path"],
+                    _gen(fe["path"]),
+                    int(fe["schema_version"]),
+                    bool(fe.get("mor")),
+                    size,
+                    json.dumps(fe["stats"]) if fe.get("stats") else None,
+                )
+            )
+    return rows
+
+
+def files_df(table, version: int | None = None) -> DataFrame:
+    """One row per live data file of a snapshot (default: current):
+    bucket, manifest path, commit generation, writer schema version,
+    MoR flag, on-disk bytes, footer min/max stats (JSON)."""
+    snap = table.snapshot(version)
+    return table.spark.createDataFrame(_file_rows(table, snap), _FILES_SCHEMA)
+
+
+def snapshots_df(table) -> DataFrame:
+    """One row per snapshot still on disk — the table's history with
+    per-version file counts and byte totals (expired versions are
+    absent, exactly like ``history()``)."""
+    rows = []
+    for snap in table.history():
+        n_files = 0
+        total = 0
+        mor = 0
+        for b, fl in snap.files.items():
+            for fe in fl:
+                n_files += 1
+                mor += 1 if fe.get("mor") else 0
+                try:
+                    total += os.path.getsize(os.path.join(table.root, fe["path"]))
+                except OSError:
+                    pass
+        rows.append(
+            (
+                snap.version,
+                snap.parent,
+                str(snap.summary.get("operation", "")),
+                snap.n_buckets,
+                n_files,
+                total,
+                mor,
+                len(snap.applied_epochs),
+                snap.current_schema,
+                len(snap.schema_versions),
+                bool(snap.soft_delete),
+            )
+        )
+    return table.spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+
+def partitions_df(
+    table, version: int | None = None, small_file_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Per-bucket physical layout of a snapshot: file count, bytes,
+    MoR delta count, distinct commit generations, small-file count —
+    the fragmentation picture compaction decisions read."""
+    snap = table.snapshot(version)
+    rows = []
+    for b, fl in sorted(snap.files.items(), key=lambda kv: int(kv[0])):
+        sizes = []
+        mor = 0
+        gens = set()
+        for fe in fl:
+            try:
+                sizes.append(os.path.getsize(os.path.join(table.root, fe["path"])))
+            except OSError:
+                sizes.append(0)
+            mor += 1 if fe.get("mor") else 0
+            gens.add(_gen(fe["path"]))
+        rows.append(
+            (
+                int(b),
+                len(fl),
+                sum(sizes),
+                mor,
+                len(gens),
+                sum(1 for s in sizes if s < small_file_bytes),
+            )
+        )
+    return table.spark.createDataFrame(rows, _PARTITIONS_SCHEMA)
+
+
+def maintenance_plan(
+    table,
+    max_files_per_bucket: int = 8,
+    max_mor_files: int = 0,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    keep_snapshots: int = 10,
+) -> DataFrame:
+    """What maintenance does this table need right now?  Returns
+    (scope, target, action, reason) rows the operator can act on —
+    each ``action`` names the engine call that clears it:
+
+    * ``compact`` — a bucket holds MoR deltas past ``max_mor_files``
+      (read-time reconcile cost accruing) or more than
+      ``max_files_per_bucket`` file fragments → ``table.compact()``.
+    * ``expire_snapshots`` — more than ``keep_snapshots`` versions on
+      disk → ``table.expire_snapshots(keep_last=keep_snapshots)``.
+    * ``abort_or_publish_stage`` — a staged WAP snapshot is pinning
+      files → ``publish_staged`` / ``abort_staged``.
+
+    Pure metadata read; an empty result means the table is tight."""
+    rows: list[tuple] = []
+    snap = table.snapshot()
+    for b, fl in sorted(snap.files.items(), key=lambda kv: int(kv[0])):
+        mor = sum(1 for fe in fl if fe.get("mor"))
+        if mor > max_mor_files:
+            rows.append(
+                (
+                    "bucket",
+                    str(b),
+                    "compact",
+                    f"{mor} merge-on-read delta file(s) pending reconcile",
+                )
+            )
+        elif len(fl) > max_files_per_bucket:
+            small = 0
+            for fe in fl:
+                try:
+                    if (
+                        os.path.getsize(os.path.join(table.root, fe["path"]))
+                        < small_file_bytes
+                    ):
+                        small += 1
+                except OSError:
+                    pass
+            rows.append(
+                (
+                    "bucket",
+                    str(b),
+                    "compact",
+                    f"{len(fl)} file fragments ({small} under "
+                    f"{small_file_bytes} bytes)",
+                )
+            )
+    vs = table.versions()
+    if len(vs) > keep_snapshots:
+        rows.append(
+            (
+                "table",
+                table.root,
+                "expire_snapshots",
+                f"{len(vs)} snapshots on disk (keep_last={keep_snapshots})",
+            )
+        )
+    for name in table.staged_names():
+        rows.append(
+            (
+                "stage",
+                name,
+                "abort_or_publish_stage",
+                "staged snapshot pins its files against GC",
+            )
+        )
+    return table.spark.createDataFrame(rows, _PLAN_SCHEMA)

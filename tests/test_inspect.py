@@ -1,0 +1,138 @@
+"""Metadata inspection tables (lake/inspect): snapshots/files/
+partitions DataFrames and the maintenance planner — pure manifest
+reads, cross-checked against the snapshot JSONs they summarize."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realdeal_spark.lake import LakeTable, merge_apply
+from realdeal_spark.lake.inspect import (
+    files_df,
+    maintenance_plan,
+    partitions_df,
+    snapshots_df,
+)
+
+SCHEMA = "k string, ts timestamp_ntz, lsn bigint, v double"
+
+
+def _mk(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=n_buckets, soft_delete=True,
+    )
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=lsn), lsn, v, op)
+            for (lsn, op, k, v) in rows
+        ],
+        SCHEMA + ", op string",
+    )
+
+
+def _seed(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (i, "insert", f"k{i}", float(i)) for i in range(1, 41)
+    ]), epoch_id="e1")
+    merge_apply(t, _ev(spark, [
+        (100 + i, "update", f"k{i}", float(i) * 2) for i in range(1, 11)
+    ]), epoch_id="e2")
+    return t
+
+
+def test_files_df_matches_manifest(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    snap = t.snapshot()
+    df = files_df(t)
+    manifest_n = sum(len(fl) for fl in snap.files.values())
+    assert df.count() == manifest_n
+    rows = df.collect()
+    assert all(r["bytes"] > 0 for r in rows)
+    assert {r["bucket"] for r in rows} == {int(b) for b in snap.files}
+    assert all(r["version"] == snap.version for r in rows)
+    # generations come from the delta dir names — monotone ints
+    assert all(r["generation"] >= 1 for r in rows)
+
+
+def test_snapshots_df_covers_history(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    df = snapshots_df(t)
+    assert [r["version"] for r in df.orderBy("version").collect()] == t.versions()
+    cur = df.orderBy(F.desc("version")).first()
+    assert cur["n_files"] == files_df(t).count()
+    assert cur["n_applied_epochs"] == 2
+    assert cur["soft_delete"] is True
+    # parent chain is intact
+    by_v = {r["version"]: r for r in df.collect()}
+    for v in t.versions()[1:]:
+        assert by_v[v]["parent"] in by_v
+
+
+def test_partitions_df_rolls_up_buckets(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    pdf = partitions_df(t)
+    fdf = files_df(t)
+    per_bucket = {
+        r["bucket"]: (r["n_files"], r["total_bytes"])
+        for r in fdf.groupBy("bucket")
+        .agg(F.count("*").alias("n_files"), F.sum("bytes").alias("total_bytes"))
+        .collect()
+    }
+    for r in pdf.collect():
+        assert (r["n_files"], r["total_bytes"]) == per_bucket[r["bucket"]]
+        # tiny test files are all "small"
+        assert r["small_files"] == r["n_files"]
+
+
+def test_maintenance_plan_flags_mor_and_fragments_then_clears(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (i, "insert", f"k{i}", float(i)) for i in range(1, 41)
+    ]))
+    merge_apply(
+        t,
+        _ev(spark, [(100 + i, "update", f"k{i}", 0.5) for i in range(1, 21)]),
+        mode="mor",
+    )
+    plan = maintenance_plan(t, keep_snapshots=10)
+    compact_rows = [r for r in plan.collect() if r["action"] == "compact"]
+    assert compact_rows, "MoR deltas must surface a compact recommendation"
+    assert all(r["scope"] == "bucket" for r in compact_rows)
+    mor_buckets = {
+        int(b)
+        for b, fl in t.snapshot().files.items()
+        if any(fe.get("mor") for fe in fl)
+    }
+    assert {int(r["target"]) for r in compact_rows} == mor_buckets
+
+    t.compact()
+    after = maintenance_plan(t, keep_snapshots=10)
+    assert [r for r in after.collect() if r["action"] == "compact"] == []
+
+
+def test_maintenance_plan_snapshot_pileup_and_stages(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i in range(6):
+        merge_apply(t, _ev(spark, [(i + 1, "insert", f"k{i}", 1.0)]))
+    plan = maintenance_plan(t, keep_snapshots=3)
+    acts = {r["action"] for r in plan.collect()}
+    assert "expire_snapshots" in acts
+    t.append(_ev(spark, [(99, "insert", "zz", 9.9)]).drop("op"), stage="audit")
+    plan2 = maintenance_plan(t, keep_snapshots=3)
+    stage_rows = [
+        r for r in plan2.collect() if r["action"] == "abort_or_publish_stage"
+    ]
+    assert [r["target"] for r in stage_rows] == ["audit"]
+    t.abort_staged("audit")
+    t.expire_snapshots(keep_last=3)
+    plan3 = maintenance_plan(t, keep_snapshots=3)
+    assert plan3.count() == 0
