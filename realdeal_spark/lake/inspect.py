@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 
 _FILES_SCHEMA = (
     "version int, bucket int, path string, generation int, "
-    "schema_version int, mor boolean, bytes bigint, stats string"
+    "schema_version int, mor boolean, bytes bigint, rows bigint, "
+    "stats string"
 )
 
 _SNAPSHOTS_SCHEMA = (
@@ -39,8 +40,8 @@ _SNAPSHOTS_SCHEMA = (
 )
 
 _PARTITIONS_SCHEMA = (
-    "bucket int, n_files bigint, total_bytes bigint, mor_files bigint, "
-    "n_generations int, small_files bigint"
+    "bucket int, n_files bigint, total_bytes bigint, rows bigint, "
+    "mor_files bigint, n_generations int, small_files bigint"
 )
 
 _PLAN_SCHEMA = "scope string, target string, action string, reason string"
@@ -69,6 +70,7 @@ def _file_rows(table, snap) -> list[tuple]:
                     int(fe["schema_version"]),
                     bool(fe.get("mor")),
                     size,
+                    int(fe["rows"]) if "rows" in fe else None,
                     json.dumps(fe["stats"]) if fe.get("stats") else None,
                 )
             )
@@ -130,6 +132,7 @@ def partitions_df(
         sizes = []
         mor = 0
         gens = set()
+        nrows: int | None = 0
         for fe in fl:
             try:
                 sizes.append(os.path.getsize(os.path.join(table.root, fe["path"])))
@@ -137,11 +140,16 @@ def partitions_df(
                 sizes.append(0)
             mor += 1 if fe.get("mor") else 0
             gens.add(_gen(fe["path"]))
+            if nrows is not None and "rows" in fe:
+                nrows += int(fe["rows"])
+            else:
+                nrows = None  # legacy file without a recorded count
         rows.append(
             (
                 int(b),
                 len(fl),
                 sum(sizes),
+                nrows,
                 mor,
                 len(gens),
                 sum(1 for s in sizes if s < small_file_bytes),

@@ -88,20 +88,24 @@ def _enc_stat(v: Any) -> Any:
     return v
 
 
-def _file_stats(path: str, cols: dict[str, str]) -> dict[str, list] | None:
-    """Per-file [min, max] for the eligible columns, aggregated across
-    the parquet footer's row-group statistics.  Driver-side and cheap:
-    one footer read per file, and commits write one file per touched
-    bucket.  A column missing stats in any row group is dropped
-    entirely (no partial bounds)."""
-    if not cols:
-        return None
+def _file_stats(
+    path: str, cols: dict[str, str]
+) -> tuple[dict[str, list] | None, int | None]:
+    """Per-file ([min, max] for the eligible columns, row count),
+    aggregated across the parquet footer's row-group statistics.
+    Driver-side and cheap: one footer read per file, and commits write
+    one file per touched bucket.  A column missing stats in any row
+    group is dropped entirely (no partial bounds).  The row count
+    feeds manifest-only COUNT answers and the maintenance planner —
+    no data scan ever needed to size the table."""
     import pyarrow.parquet as pq
 
     try:
         md = pq.ParquetFile(path).metadata
     except Exception:
-        return None
+        return None, None
+    if not cols:
+        return None, md.num_rows
     agg: dict[str, list] = {}
     dead: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -127,7 +131,7 @@ def _file_stats(path: str, cols: dict[str, str]) -> dict[str, list] | None:
                 agg[name][1] = max(agg[name][1], mx)
             else:
                 agg[name] = [mn, mx]
-    return agg or None
+    return agg or None, md.num_rows
 
 
 def _stats_disjoint(entry: dict[str, Any], enc_filters: dict[str, tuple]) -> bool:
@@ -802,9 +806,13 @@ class LakeTable:
                     }
                     if mor:
                         entry["mor"] = True
-                    stats = _file_stats(os.path.join(out_dir, d, fn), stat_cols)
+                    stats, n_rows = _file_stats(
+                        os.path.join(out_dir, d, fn), stat_cols
+                    )
                     if stats:
                         entry["stats"] = stats
+                    if n_rows is not None:
+                        entry["rows"] = n_rows
                     files.setdefault(b, []).append(entry)
         return files
 
@@ -1380,6 +1388,26 @@ class LakeTable:
         )
         self._commit(committed)
         return committed
+
+    def physical_rows(self, version: int | None = None) -> int | None:
+        """Total PHYSICAL rows of a snapshot, summed from the row
+        counts manifests record at write time (parquet footer
+        metadata) — a pure driver-side metadata read, no scan.
+
+        Physical means as-stored: tombstone rows and superseded MoR /
+        plain-append generations are included, so this equals
+        ``read().count()`` only for tables with no tombstones and no
+        pending reconcile; it is exact for planning (how much will a
+        compaction move?) either way.  Returns None when any live file
+        predates row-count recording (legacy manifests)."""
+        snap = self.snapshot(version)
+        total = 0
+        for fl in snap.files.values():
+            for fe in fl:
+                if "rows" not in fe:
+                    return None
+                total += int(fe["rows"])
+        return total
 
     def history(self) -> list[Snapshot]:
         """All snapshots still present on disk, oldest first.

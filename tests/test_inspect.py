@@ -136,3 +136,51 @@ def test_maintenance_plan_snapshot_pileup_and_stages(spark, tmp_path):
     t.expire_snapshots(keep_last=3)
     plan3 = maintenance_plan(t, keep_snapshots=3)
     assert plan3.count() == 0
+
+
+def test_physical_rows_from_manifests_only(spark, tmp_path):
+    """Manifest row counts answer physical COUNT without a scan:
+    equal to the as-stored row count (tombstones and superseded
+    generations included), and files_df/partitions_df carry the same
+    per-file / per-bucket numbers."""
+    t = _seed(spark, tmp_path)
+    stored = t.read(include_deleted=True).count()
+    assert t.physical_rows() == stored
+    merge_apply(t, _ev(spark, [(200, "delete", "k1", None)]))
+    # tombstone is a physical row; logical count drops below physical
+    assert t.physical_rows() == t.read(include_deleted=True).count()
+    assert t.read().count() < t.physical_rows()
+    fdf = files_df(t)
+    assert fdf.where(F.col("rows").isNull()).count() == 0
+    assert (
+        fdf.agg(F.sum("rows").alias("s")).first()["s"] == t.physical_rows()
+    )
+    per_bucket = {
+        r["bucket"]: r["rows"]
+        for r in partitions_df(t).collect()
+    }
+    manifest = {
+        int(b): sum(fe["rows"] for fe in fl)
+        for b, fl in t.snapshot().files.items()
+    }
+    assert per_bucket == manifest
+
+
+def test_physical_rows_none_on_legacy_manifest(spark, tmp_path):
+    """A pre-row-count manifest (simulated by stripping the field)
+    yields None, never a silently wrong number."""
+    import json as _json
+    import os as _os
+
+    t = _seed(spark, tmp_path)
+    p = t._snap_path(t.current_version())
+    d = _json.loads(open(p).read())
+    for fl in d["files"].values():
+        for fe in fl:
+            fe.pop("rows", None)
+    _os.chmod(p, 0o644)
+    with open(p, "w") as f:
+        f.write(_json.dumps(d))
+    assert t.physical_rows() is None
+    assert files_df(t).where(F.col("rows").isNull()).count() > 0
+    assert partitions_df(t).where(F.col("rows").isNull()).count() > 0
