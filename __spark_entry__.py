@@ -182,6 +182,42 @@ def q_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
 
 
+def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream replica (cdc/replicate): replay the change log into
+    a source table epoch by epoch, keep a DIFFERENTLY-BUCKETED
+    replica in sync through the changes feed alone (one O(changes)
+    MERGE per source commit, exactly-once interval epoch ids), and
+    read the REPLICA's final state.  Oracle = the same window over
+    the full log — the replica must converge to exactly the
+    replay-equivalence state the source holds."""
+    from realdeal_spark.cdc.replicate import create_replica, replicate_interval
+
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_repl_")
+    src = LakeTable.create(
+        spark,
+        f"{root}/src",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(src, lsn_col="event_id")
+    mx = log.agg(F.max("event_id")).first()[0]
+    applier.run(log, epoch_size=int(mx) // 2 + 1)
+    dst = create_replica(src, f"{root}/dst", n_buckets=5)
+    vs = src.versions()
+    for a, b in zip(vs, vs[1:]):  # one interval per source commit
+        replicate_interval(src, dst, a, b)
+    return dst.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
+
+
 def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance (cdc.rollup): replay epoch 1,
     bootstrap the rollup from scratch at v1, replay epoch 2, then
@@ -2141,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "knn_ivf_broadcast": q_knn_ivf_broadcast,
         "knn_ivf_maintained": q_knn_ivf_maintained,
+        "cdc_replicate": q_cdc_replicate,
     }
 
 
@@ -2151,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conflate_light": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
         "cdc_merge_replay_mor": _FINAL_STATE_SQL,
+        "cdc_replicate": _FINAL_STATE_SQL,
         "cdc_incremental_rollup": f"""
 with final as ({_FINAL_STATE_SQL})
 select event_type, count(*) as n_rows, {_sum_sql('value')} as sum_value,

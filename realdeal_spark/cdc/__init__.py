@@ -10,6 +10,11 @@ from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.cdc.apply import CdcApplier, EpochReport
 from realdeal_spark.cdc.backfill import backfill
 from realdeal_spark.cdc.evolve import plan_evolution, reconcile
+from realdeal_spark.cdc.replicate import (
+    create_replica,
+    replicate_interval,
+    stream_replicate,
+)
 from realdeal_spark.cdc.rollup import (
     Measure,
     RollupMaintainer,
@@ -26,6 +31,9 @@ __all__ = [
     "reconcile",
     "Measure",
     "RollupMaintainer",
+    "create_replica",
+    "replicate_interval",
     "rollup_advance",
     "rollup_full",
+    "stream_replicate",
 ]
