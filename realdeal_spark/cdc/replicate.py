@@ -93,6 +93,35 @@ def replicate_interval(
     return merge_apply(dst, ev, epoch_id=epoch_id, mode=mode)
 
 
+def replica_watermark(dst: LakeTable) -> int | None:
+    """The highest source version the replica has applied, recovered
+    from its own applied-epoch ids (``cdf-replicate:<from>-<to>``) —
+    the replica carries its replication state in-band, the same
+    checkpoint-in-the-data property the applier has.  None if this
+    table never received a replicated interval."""
+    hi: int | None = None
+    for eid in dst.snapshot().applied_epochs:
+        if eid.startswith("cdf-replicate:"):
+            to_v = int(eid.rsplit("-", 1)[1])
+            hi = to_v if hi is None else max(hi, to_v)
+    return hi
+
+
+def replication_lag(src: LakeTable, dst: LakeTable) -> dict:
+    """How far behind is the replica?  ``versions_behind`` is the
+    metric a monitor alerts on (the per-epoch lag analogue for the
+    replication path); ``source_version``/``replica_watermark`` give
+    the retention check — expire_snapshots on the source must keep at
+    least the watermark snapshot or the replica cannot resume."""
+    wm = replica_watermark(dst)
+    cur = src.current_version()
+    return {
+        "source_version": cur,
+        "replica_watermark": wm,
+        "versions_behind": (cur - wm) if wm is not None else None,
+    }
+
+
 def stream_replicate(
     src: LakeTable,
     dst: LakeTable,

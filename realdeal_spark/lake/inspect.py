@@ -231,3 +231,46 @@ def maintenance_plan(
             )
         )
     return table.spark.createDataFrame(rows, _PLAN_SCHEMA)
+
+
+def auto_maintain(
+    table,
+    max_files_per_bucket: int = 8,
+    max_mor_files: int = 0,
+    keep_snapshots: int = 10,
+    zorder_by: list[str] | None = None,
+) -> list[dict[str, Any]]:
+    """Execute :func:`maintenance_plan`: one ``compact`` covering
+    every flagged bucket (the compactor itself selects fat/MoR
+    buckets with the same thresholds), then ``expire_snapshots``.
+    Staged WAP snapshots are reported but never auto-resolved —
+    publishing or aborting an audit is a decision, not maintenance.
+
+    Returns the actions taken (the background-maintenance loop a
+    deployment schedules per table)."""
+    plan = maintenance_plan(
+        table,
+        max_files_per_bucket=max_files_per_bucket,
+        max_mor_files=max_mor_files,
+        keep_snapshots=keep_snapshots,
+    ).collect()
+    done: list[dict[str, Any]] = []
+    if any(r["action"] == "compact" for r in plan):
+        snap = table.compact(
+            max_files_per_bucket=max_files_per_bucket, zorder_by=zorder_by
+        )
+        done.append(
+            {
+                "action": "compact",
+                "committed_version": snap.version if snap else None,
+            }
+        )
+    if any(r["action"] == "expire_snapshots" for r in plan):
+        stats = table.expire_snapshots(keep_last=keep_snapshots)
+        done.append({"action": "expire_snapshots", **stats})
+    for r in plan:
+        if r["action"] == "abort_or_publish_stage":
+            done.append(
+                {"action": "needs_decision", "stage": r["target"]}
+            )
+    return done

@@ -376,11 +376,12 @@ class LakeTable:
         include_deleted: bool = False,
         range_filters: dict[str, tuple[Any, Any]] | None = None,
         snapshot: Snapshot | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to buckets.
         ``snapshot`` overrides ``version`` with an explicit Snapshot
         object (used by :meth:`read_staged` for not-yet-published
-        state).
+        state); ``tag`` time-travels by name (:meth:`set_tag`).
 
         Bucket pruning is the scale lever: a MERGE whose source batch
         hashes into k of N buckets scans only those buckets' files.
@@ -414,6 +415,10 @@ class LakeTable:
         filter row-level after the reconcile — always-correct, and
         ``compact()`` restores skippability.
         """
+        if tag is not None:
+            if version is not None or snapshot is not None:
+                raise ValueError("pass at most one of version/snapshot/tag")
+            version = self.resolve_tag(tag)
         snap = snapshot if snapshot is not None else self.snapshot(version)
         cur = self._schema_version(snap, snap.current_schema)
         want = {str(b) for b in buckets} if buckets is not None else None
@@ -1389,6 +1394,69 @@ class LakeTable:
         self._commit(committed)
         return committed
 
+    # ------------------------------------------------------------ tags
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(), f"tag-{name}.json")
+
+    def set_tag(
+        self, name: str, version: int | None = None, replace: bool = False
+    ) -> int:
+        """Name a snapshot (the Iceberg tag analogue): ``read(tag=…)``
+        time-travels by name, and ``expire_snapshots`` pins tagged
+        versions (and their files) no matter how old — the audit /
+        release / reproducibility anchor ("the snapshot training run
+        X read") that a bare version number can't provide, because
+        untagged versions are retention-managed.
+
+        Create-only by default (same one-writer-wins discipline as
+        commits and stages); ``replace=True`` atomically repoints."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"bad tag name: {name!r}")
+        v = self.current_version() if version is None else int(version)
+        self.snapshot(v)  # must exist (raises otherwise)
+        tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if replace:
+            os.replace(tmp, self._tag_path(name))
+        else:
+            try:
+                os.link(tmp, self._tag_path(name))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"tag {name!r} already exists at {self.root}"
+                ) from None
+            finally:
+                os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags → the version each names."""
+        out: dict[str, int] = {}
+        for n in os.listdir(self._meta_dir()):
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(os.path.join(self._meta_dir(), n)) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r} at {self.root}") from None
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag — its snapshot becomes expirable again."""
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r} at {self.root}") from None
+
     def physical_rows(self, version: int | None = None) -> int | None:
         """Total PHYSICAL rows of a snapshot, summed from the row
         counts manifests record at write time (parquet footer
@@ -1434,7 +1502,10 @@ class LakeTable:
         cost is O(files in metadata), no data scan.
         """
         vs = self.versions()
-        keep = vs[-max(keep_last, 1):]
+        # tagged versions are pinned: a tag is a named promise that the
+        # snapshot stays readable (drop_tag releases it)
+        tagged = set(self.tags().values()) & set(vs)
+        keep = sorted(set(vs[-max(keep_last, 1):]) | tagged)
         drop = [v for v in vs if v not in keep]
         referenced: set[str] = set()
         for v in keep:

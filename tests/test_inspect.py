@@ -184,3 +184,79 @@ def test_physical_rows_none_on_legacy_manifest(spark, tmp_path):
     assert t.physical_rows() is None
     assert files_df(t).where(F.col("rows").isNull()).count() > 0
     assert partitions_df(t).where(F.col("rows").isNull()).count() > 0
+
+
+def test_tags_pin_snapshots_and_name_reads(spark, tmp_path):
+    """set_tag names a version; read(tag=) time-travels by name;
+    expire_snapshots keeps tagged versions alive; drop_tag releases
+    them to the next sweep."""
+    import pytest as _pytest
+
+    from realdeal_spark.lake.table import CommitConflict
+
+    t = _mk(spark, tmp_path)
+    for i in range(5):
+        merge_apply(t, _ev(spark, [(i + 1, "insert", f"k{i}", float(i))]))
+    vs = t.versions()
+    v_tagged = vs[2]
+    t.set_tag("release-1", v_tagged)
+    assert t.tags() == {"release-1": v_tagged}
+    want = sorted(r["k"] for r in t.read(version=v_tagged).collect())
+    assert sorted(r["k"] for r in t.read(tag="release-1").collect()) == want
+
+    with _pytest.raises(CommitConflict):
+        t.set_tag("release-1", vs[3])
+    t.set_tag("release-1", vs[3], replace=True)
+    assert t.resolve_tag("release-1") == vs[3]
+    t.set_tag("release-1", v_tagged, replace=True)
+
+    t.expire_snapshots(keep_last=1)
+    assert v_tagged in t.versions()  # pinned
+    assert sorted(r["k"] for r in t.read(tag="release-1").collect()) == want
+
+    t.drop_tag("release-1")
+    t.expire_snapshots(keep_last=1)
+    assert v_tagged not in t.versions()
+    with _pytest.raises(KeyError):
+        t.resolve_tag("release-1")
+
+
+def test_tag_validation_and_read_arg_conflicts(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _seed(spark, tmp_path)
+    with _pytest.raises(ValueError, match="bad tag name"):
+        t.set_tag("../escape")
+    with _pytest.raises(Exception):
+        t.set_tag("ok", version=999)  # unknown snapshot
+    t.set_tag("ok")
+    with _pytest.raises(ValueError, match="at most one"):
+        t.read(version=1, tag="ok")
+
+
+def test_auto_maintain_executes_plan(spark, tmp_path):
+    from realdeal_spark.lake.inspect import auto_maintain
+
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (i, "insert", f"k{i}", float(i)) for i in range(1, 41)
+    ]))
+    for i in range(8):
+        merge_apply(t, _ev(spark, [(200 + i, "insert", f"z{i}", 1.0)]))
+    # MoR last: a later CoW rewrite of the same bucket would fold the
+    # deltas and clear the compact trigger
+    merge_apply(
+        t,
+        _ev(spark, [(100 + i, "update", f"k{i}", 0.5) for i in range(1, 21)]),
+        mode="mor",
+    )
+    t.append(_ev(spark, [(999, "insert", "st", 1.0)]).drop("op"), stage="aud")
+    done = auto_maintain(t, keep_snapshots=3)
+    acts = [d["action"] for d in done]
+    assert acts == ["compact", "expire_snapshots", "needs_decision"]
+    # plan is now clean except the stage, which is never auto-resolved
+    after = maintenance_plan(t, keep_snapshots=3).collect()
+    assert {r["action"] for r in after} == {"abort_or_publish_stage"}
+    assert auto_maintain(t, keep_snapshots=3) == [
+        {"action": "needs_decision", "stage": "aud"}
+    ]

@@ -158,3 +158,19 @@ def test_out_of_order_protection_carries_to_replica(spark, tmp_path):
     ).drop("change_type")
     merge_apply(dst, ev, epoch_id="stale-replay")
     assert _state(dst) == _state(src)
+
+
+def test_replication_watermark_and_lag(spark, tmp_path):
+    from realdeal_spark.cdc.replicate import replica_watermark, replication_lag
+
+    src = _seed(spark, tmp_path)
+    dst = create_replica(src, str(tmp_path / "dst"))
+    assert replica_watermark(dst) is None
+    assert replication_lag(src, dst)["versions_behind"] is None
+    vs = src.versions()
+    replicate_interval(src, dst, vs[0], vs[1])
+    assert replica_watermark(dst) == vs[1]
+    lag = replication_lag(src, dst)
+    assert lag["versions_behind"] == src.current_version() - vs[1] > 0
+    replicate_interval(src, dst, vs[1], src.current_version())
+    assert replication_lag(src, dst)["versions_behind"] == 0
