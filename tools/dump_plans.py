@@ -282,6 +282,23 @@ def main() -> None:
         )
     )
 
+    # round 4: IVF advance survivors read — the exact plan shape
+    # ivf_index_advance builds when rewriting affected cells
+    changed = emb.where("vec_id % 97 = 0").select("vec_id")
+    sections.append(
+        (
+            "IVF advance survivors read (affected cells only)",
+            "The stale-entry drop scans ONLY the affected cells "
+            "(PartitionFilters on list_id=) and removes changed keys "
+            "via a BroadcastHashJoin LeftAnti on the O(changes) key "
+            "set — the index advance never reads untouched cells or "
+            "shuffles the corpus.",
+            spark.read.parquet(f"{idxdir}/cells")
+            .where(F.col("list_id").isin([1, 3]))
+            .join(F.broadcast(changed), on="vec_id", how="left_anti"),
+        )
+    )
+
     # round 3: composed curation pipeline — fused filters, one window
     import __spark_entry__ as E
 
