@@ -2103,7 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix entry — each is still verifiable via tools/verify_entry.py.
     return {
         # CDC / incremental-ingest core
-        "cdc_latest_state": q_cdc_latest_state,
+        "cdc_replicate": q_cdc_replicate,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_merge_replay_mor": q_cdc_merge_replay_mor,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
@@ -2151,7 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web / curation
         "web_url_normalize": q_web_url_normalize,
         "web_domain_rollup": q_web_domain_rollup,
-        "curate_sample_hash": q_curate_sample_hash,
+        "knn_ivf_maintained": q_knn_ivf_maintained,
         "curate_sample_stratified": q_curate_sample_stratified,
         "curate_token_budget": q_curate_token_budget,
         "pipeline_curate_v2": q_pipeline_curate_v2,
@@ -2164,6 +2164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50-entry driver-checked prefix ----
         # variants below duplicate a prefix family/oracle; verified by
         # tools/verify_entry.py and pytest each round.
+        # cdc_latest_state shares cdc_merge_replay's oracle verbatim
+        # (_FINAL_STATE_SQL) and exercises a strict subset of its path
+        # (conflate without merge); curate_sample_hash's md5 rank is the
+        # first stage of curate_sample_stratified / curate_token_budget
+        # / pipeline_curate_v2, all in-prefix — demoted round 4 to make
+        # room for the maintained-index and replica capabilities.
+        "cdc_latest_state": q_cdc_latest_state,
+        "curate_sample_hash": q_curate_sample_hash,
         "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
         "cdc_conflate_light": q_cdc_conflate_light,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2176,8 +2184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "knn_ivf_broadcast": q_knn_ivf_broadcast,
-        "knn_ivf_maintained": q_knn_ivf_maintained,
-        "cdc_replicate": q_cdc_replicate,
     }
 
 
