@@ -77,6 +77,10 @@ HEADLINE = HEADLINE_R1 + [
     "curate_sample_stratified",
     "curate_token_budget",
     "knn_ivf_broadcast",
+    # round-4 session additions: the CDC-maintained secondary index
+    # (advance, not rebuild) and the changes-feed replica
+    "knn_ivf_maintained",
+    "cdc_replicate",
 ]
 
 
