@@ -78,6 +78,8 @@ def replicate_interval(
     metadata-only no-op: checked against the replica's applied
     epochs BEFORE any read (merge_apply records ids but the skip
     decision is the applier's job — same split as CdcApplier)."""
+    if int(to_version) <= int(from_version):
+        return None  # empty or inverted interval — nothing to apply
     epoch_id = f"cdf-replicate:{int(from_version)}-{int(to_version)}"
     if epoch_id in dst.snapshot().applied_epochs:
         return None

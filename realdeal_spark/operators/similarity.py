@@ -701,7 +701,9 @@ def ivf_index_advance(
     if to_version is None:
         to_version = table.current_version()
     stats = {"from_version": from_v, "to_version": int(to_version)}
-    if int(to_version) == from_v:
+    if int(to_version) <= from_v:
+        # at or past the target already (a replayed interval after a
+        # crash/restart) — never regress, never invert the feed range
         return {**stats, "advanced": False, "affected_cells": 0}
     centroids = [
         (int(cid), [float(x) for x in cv]) for cid, cv in meta["centroids"]

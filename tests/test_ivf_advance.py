@@ -233,3 +233,20 @@ def test_stream_maintained_ivf_tracks_table(spark, tmp_path):
     rb = str(tmp_path / "rb")
     _rebuild(t, idx, rb, t.current_version())
     assert _cells(spark, idx) == _cells(spark, rb)
+
+
+def test_advance_to_older_target_is_noop(spark, tmp_path):
+    """A stale checkpoint replaying an interval whose end precedes the
+    index's stamped version must be a no-op, never an inverted feed
+    read or a regression."""
+    t = _mk(spark, tmp_path, n=40)
+    idx = str(tmp_path / "ivf")
+    v1 = t.current_version()
+    build_ivf_index(t.read(), idx, n_lists=4, table_version=v1)
+    merge_apply(t, _ev(spark, [(2, "update", i, _vec(i, salt=5))
+                               for i in range(5)]))
+    ivf_index_advance(t, idx)
+    before = _cells(spark, idx)
+    s = ivf_index_advance(t, idx, to_version=v1)  # older than stamped
+    assert s["advanced"] is False
+    assert _cells(spark, idx) == before

@@ -174,3 +174,14 @@ def test_replication_watermark_and_lag(spark, tmp_path):
     assert lag["versions_behind"] == src.current_version() - vs[1] > 0
     replicate_interval(src, dst, vs[1], src.current_version())
     assert replication_lag(src, dst)["versions_behind"] == 0
+
+
+def test_inverted_or_empty_interval_is_noop(spark, tmp_path):
+    src = _seed(spark, tmp_path)
+    dst = create_replica(src, str(tmp_path / "dst"))
+    vs = src.versions()
+    replicate_interval(src, dst, vs[0], vs[-1])
+    v_after = dst.current_version()
+    assert replicate_interval(src, dst, vs[-1], vs[-1]) is None
+    assert replicate_interval(src, dst, vs[-1], vs[0]) is None
+    assert dst.current_version() == v_after
