@@ -116,6 +116,7 @@ class CdcApplier:
         report_sink: Callable[[EpochReport], None] | None = None,
         salt_buckets: int | None = None,
         quarantine_dir: str | None = None,
+        capture_changes: bool = False,
     ):
         self.table = table
         self.lsn_col = lsn_col
@@ -127,6 +128,11 @@ class CdcApplier:
         self.auto_evolve = auto_evolve
         self.renames = renames
         self.merge_mode = merge_mode
+        # write-time CDF capture (CoW only; see lake.merge): turn on
+        # for tables that feed CDF consumers — rollup maintainers,
+        # replicas, secondary indexes read O(changes) instead of
+        # reconstructing intervals from data files
+        self.capture_changes = capture_changes
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
         self._epochs_since_compact = 0
@@ -256,6 +262,7 @@ class CdcApplier:
             epoch_id=epoch_id,
             extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
             mode=self.merge_mode,
+            capture_changes=self.capture_changes,
         )
         if self.compact_every is not None and res.snapshot is not None:
             # MoR amortizer: fold delta files back into base files

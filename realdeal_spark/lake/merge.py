@@ -125,8 +125,26 @@ def merge_apply(
     epoch_id: str | None = None,
     extra_summary: dict | None = None,
     mode: str = "cow",
+    capture_changes: bool = False,
 ) -> MergeResult:
     """Apply one conflated change batch to the table.
+
+    ``capture_changes`` (CoW only) — write-time CDF capture, the
+    Delta-CDF ``_change_data`` analogue: the MERGE already holds both
+    the old and the new row of every effective change in its single
+    output pass, so it additionally persists them as ``_cdf=p``
+    (pre-image) / ``_cdf=c`` (change row) partitions of the same
+    delta write and records them in the snapshot summary.  Cost is
+    O(changes) extra rows riding a rewrite that is O(touched buckets)
+    anyway.  ``read_changes`` then serves any interval whose every
+    version carries capture from the capture files alone — no added-
+    file conflation, no carryover anti-join, no old-snapshot scan —
+    which is what keeps maintained rollups / replicas / secondary
+    indexes O(changes) when changed keys outnumber buckets (at
+    10^10 rows they always do).  Off by default: a bulk load would
+    pay ~2× write volume for capture no consumer needs; turn it on
+    for tables that feed CDF consumers (``CdcApplier(
+    capture_changes=True)``).
 
     ``column_merge``:
       - ``"replace"``  — a winning source row replaces the whole row
@@ -157,6 +175,13 @@ def merge_apply(
         values — use cow for partial updates).
     """
     if mode == "mor":
+        if capture_changes:
+            raise ValueError(
+                "capture_changes requires mode='cow': the MoR write "
+                "never reads the target payload, so pre-images are not "
+                "available at write time (MoR intervals fall back to "
+                "read-time reconstruction by design)"
+            )
         return _merge_apply_mor(table, source, column_merge, epoch_id, extra_summary)
     if mode != "cow":
         raise ValueError(f"unknown merge mode: {mode}")
@@ -230,9 +255,48 @@ def merge_apply(
         F.col(f"s.{_BUCKET_COL}"), F.col(f"t.{_BUCKET_COL}")
     ).alias(_BUCKET_COL)
 
-    resolved = joined.withColumn("_action", action).select(
-        "_action", bucket_out, deleted_out, *out_cols
-    )
+    base = joined.withColumn("_action", action)
+    if capture_changes:
+        # write-time CDF capture: every effective change additionally
+        # emits its change row (_cdf='c') and its pre-state (_cdf='p';
+        # an absent/tombstoned pre-state is encoded as _deleted=true
+        # with null payload — no extra marker column, so data and
+        # capture files share one schema).  Same single output pass:
+        # the array/explode multiplies only changed rows.
+        eff = F.col("_action").isin("insert", "update", "delete", "tombstone")
+        post_struct = F.struct(F.lit("d").alias("_cdf"), deleted_out, *out_cols)
+        chg_struct = F.struct(F.lit("c").alias("_cdf"), deleted_out, *out_cols)
+        # the pre row must keep its KEY even when the pre-state is
+        # absent (insert/resurrect markers) — the interval composer
+        # groups by key to find each key's earliest touch
+        pre_struct = F.struct(
+            F.lit("p").alias("_cdf"),
+            (~t_visible).alias(_DELETED_COL),
+            *[
+                (
+                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    if c in key_cols
+                    else F.when(t_visible, F.col(f"t.{c}"))
+                ).alias(c)
+                for c in data_cols
+            ],
+        )
+        rows = F.when(
+            eff, F.array(post_struct, chg_struct, pre_struct)
+        ).otherwise(F.array(post_struct))
+        resolved = base.select(
+            "_action", bucket_out, F.explode(rows).alias("_r")
+        ).select(
+            "_action",
+            _BUCKET_COL,
+            F.col("_r._cdf").alias("_cdf"),
+            F.col(f"_r.{_DELETED_COL}").alias(_DELETED_COL),
+            *[F.col(f"_r.{c}").alias(c) for c in data_cols],
+        )
+        is_data = F.col("_cdf") == "d"
+    else:
+        resolved = base.select("_action", bucket_out, deleted_out, *out_cols)
+        is_data = F.lit(True)
 
     # single output pass: the action statistics ride the delta write as
     # an Observation instead of a separate aggregation job (halves the
@@ -242,7 +306,7 @@ def merge_apply(
     # almost always carry changes.  A fully no-op batch is detected
     # from the observation and its files discarded before commit.
     cnt = lambda a: F.sum(
-        F.when(F.col("_action") == a, 1).otherwise(0).cast("long")
+        F.when(is_data & (F.col("_action") == a), 1).otherwise(0).cast("long")
     )
     obs = Observation()
     observed = resolved.observe(
@@ -267,12 +331,22 @@ def merge_apply(
         # analogue).  The MoR path stays sort-free — its deltas are
         # O(changes) and file skipping is disabled in MoR buckets
         # until compaction regardless.
-        new_files = table._write_delta(
-            new_rows,
-            new_version,
-            snap.current_schema,
-            sort_by=list(snap.order_columns or []),
-        )
+        if capture_changes:
+            new_files, cdf = table._write_delta(
+                new_rows,
+                new_version,
+                snap.current_schema,
+                sort_by=list(snap.order_columns or []),
+                cdf_col="_cdf",
+            )
+        else:
+            new_files = table._write_delta(
+                new_rows,
+                new_version,
+                snap.current_schema,
+                sort_by=list(snap.order_columns or []),
+            )
+            cdf = None
         m = obs.get
         result = MergeResult(
             snapshot=None,
@@ -287,11 +361,11 @@ def merge_apply(
             # pure no-op batch: drop the just-written delta, commit nothing
             for fl in new_files.values():
                 if fl:
+                    # path = _data/delta-N-x/pb=B[/_cdf=d]/part.parquet —
+                    # remove the whole delta dir (second component)
+                    parts = fl[0]["path"].split(os.sep)
                     shutil.rmtree(
-                        os.path.join(
-                            table.root,
-                            os.path.dirname(os.path.dirname(fl[0]["path"])),
-                        ),
+                        os.path.join(table.root, parts[0], parts[1]),
                         ignore_errors=True,
                     )
                     break
@@ -305,6 +379,8 @@ def merge_apply(
             "stale": result.stale,
             **(extra_summary or {}),
         }
+        if cdf is not None:
+            summary["cdf"] = cdf
         result.snapshot = table.commit_bucket_replacement(
             snap, new_version, new_files, touched, summary=summary, epoch_id=epoch_id
         )

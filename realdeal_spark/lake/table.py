@@ -540,6 +540,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         include_preimage: bool = False,
+        use_capture: bool | None = None,
     ) -> DataFrame:
         """Incremental changes feed: the net per-key change between two
         snapshots, as current-schema columns + ``change_type``
@@ -585,6 +586,22 @@ class LakeTable:
         Requires ``from_version``'s files to still exist (i.e. not
         swept by :meth:`expire_snapshots`) — the standard incremental
         -read constraint.
+
+        **Write-time capture fast path** (``merge_apply(
+        capture_changes=True)``): when EVERY version in the interval
+        carries capture files, the whole feed — post rows AND
+        pre-images — is served from them alone: O(changes in
+        interval) read, no added-file conflation, no carryover
+        anti-join, and crucially no old-snapshot scan.  The
+        reconstruction above prunes the pre-image read to the buckets
+        changes hashed into, but hash bucketing spreads any key set
+        uniformly, so once an epoch changes more keys than the table
+        has buckets (at 10^10 rows: always) the "pruned" read is the
+        whole table — capture is what keeps maintained rollups,
+        replicas, and secondary indexes truly incremental.
+        ``use_capture``: None = auto (capture when available),
+        False = force reconstruction, True = require capture (raises
+        if any interval version lacks it).
         """
         to_snap = self.snapshot(to_version)
         from_snap = self.snapshot(from_version)
@@ -595,6 +612,20 @@ class LakeTable:
             )
         cur = self._schema_version(to_snap, to_snap.current_schema)
         keys, orders = to_snap.key_columns, to_snap.order_columns
+
+        if use_capture is not False:
+            caps = self._capture_chain(from_snap.version, to_snap.version)
+            if caps is not None:
+                return self._changes_from_capture(
+                    caps, to_snap, cur, include_preimage
+                )
+            if use_capture:
+                raise ValueError(
+                    f"use_capture=True but interval ({from_snap.version}, "
+                    f"{to_snap.version}] has versions without capture "
+                    "files (merge_apply(capture_changes=True) everywhere, "
+                    "or let use_capture=None fall back)"
+                )
 
         old_paths = {fe["path"] for fl in from_snap.files.values() for fe in fl}
         # group the new files by (commit generation, writer schema):
@@ -699,6 +730,109 @@ class LakeTable:
         )
         return out.unionByName(pre)
 
+    def _capture_chain(
+        self, from_v: int, to_v: int
+    ) -> list[tuple[int, dict]] | None:
+        """The interval's capture manifests, or None if any version in
+        ``(from_v, to_v]`` is missing or lacks capture (→ fallback to
+        reconstruction).  Versions are committed densely, so the range
+        enumerates the chain."""
+        out: list[tuple[int, dict]] = []
+        for v in range(from_v + 1, to_v + 1):
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                return None
+            c = s.summary.get("cdf")
+            if c is None:
+                return None
+            out.append((v, c))
+        return out
+
+    def _changes_from_capture(
+        self, caps, to_snap, cur, include_preimage: bool
+    ) -> DataFrame:
+        """Compose the interval feed purely from per-version capture
+        files (see ``merge_apply(capture_changes=True)``).
+
+        Net post row per key = latest captured change row (order
+        columns advance monotonically per key across epochs — stale
+        events never capture).  Net pre-image per key = the capture
+        from the key's EARLIEST touched version: that is by
+        construction the state at ``from_version``; an absent/
+        tombstoned pre-state was captured as ``_deleted=true`` and is
+        dropped (matches the reconstruction's live-rows-only rule).
+        Every captured row was an effective change, so every captured
+        key belongs in the net feed — no unchanged-suppression join
+        needed.  Cost: O(changes in interval), no table files read."""
+        from realdeal_spark.cdc.conflate import conflate
+
+        keys, orders = to_snap.key_columns, to_snap.order_columns
+        data_cols = [f["name"] for f in cur.fields]
+
+        def _read_entries(entries, v):
+            by_sv: dict[int, list[str]] = {}
+            for fe in entries:
+                by_sv.setdefault(fe["schema_version"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+            parts = [
+                self._read_aligned(to_snap, cur, sv_id, paths)
+                for sv_id, paths in sorted(by_sv.items())
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df.withColumn("_v", F.lit(v))
+
+        empty = self.spark.createDataFrame(
+            [], cur.struct().add("change_type", T.StringType())
+        )
+        chg_parts = [
+            _read_entries(c["chg"], v) for v, c in caps if c.get("chg")
+        ]
+        if not chg_parts:
+            return empty
+        chg = chg_parts[0]
+        for p in chg_parts[1:]:
+            chg = chg.unionByName(p)
+        chg = conflate(
+            chg, keys, orders, strategy="light", broadcast_winners=False
+        )
+        out = (
+            chg.withColumn(
+                "change_type",
+                F.when(F.col(_DELETED_COL), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            .select(*data_cols, "change_type")
+        )
+        if not include_preimage:
+            return out
+        pre_parts = [
+            _read_entries(c["pre"], v) for v, c in caps if c.get("pre")
+        ]
+        if not pre_parts:
+            return out
+        pre = pre_parts[0]
+        for p in pre_parts[1:]:
+            pre = pre.unionByName(p)
+        # earliest touch per key == state at from_version
+        pre = conflate(
+            pre.withColumn("_negv", -F.col("_v")),
+            keys,
+            ["_negv"],
+            strategy="light",
+            broadcast_winners=False,
+        )
+        pre = (
+            pre.where(~F.col(_DELETED_COL))
+            .select(*data_cols)
+            .withColumn("change_type", F.lit("update_preimage"))
+        )
+        return out.unionByName(pre)
+
     def _preimage_frame(
         self, from_snap, to_snap, cur, changed_keys: DataFrame
     ) -> DataFrame | None:
@@ -758,8 +892,18 @@ class LakeTable:
         schema_version: int,
         mor: bool = False,
         sort_by: list | None = None,  # str names or Column sort expressions
-    ) -> dict[str, list[dict[str, Any]]]:
+        cdf_col: str | None = None,
+    ) -> Any:
         """Write a dataframe (with ``_bucket`` col) as one delta dir.
+
+        ``cdf_col`` — write-time change capture: partition the write
+        additionally by this column (values ``d`` = table data,
+        ``p`` = pre-image capture, ``c`` = change-row capture) in the
+        SAME single write job, and return
+        ``(files, {"pre": [...], "chg": [...]})`` instead of just
+        ``files`` — the capture rows ride the rewrite for free
+        (O(changes) extra bytes), which is what makes the changes
+        feed O(changes) to read (see :meth:`read_changes`).
 
         Returns bucket -> file-entry list.  ``_bucket`` is duplicated
         into the partition dir column ``pb`` *and* kept as a data
@@ -782,44 +926,66 @@ class LakeTable:
         delta = f"delta-{version:09d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, _DATA, delta)
         out = df.withColumn(_PART_DIR_COL, F.col(_BUCKET_COL))
+        part_cols = [_PART_DIR_COL] + ([cdf_col] if cdf_col else [])
         if sort_by:
-            # task-local sort with the partition-dir column LEADING:
+            # task-local sort with the partition-dir column(s) LEADING:
             # the dynamic-partition writer requires ordering on
             # _PART_DIR_COL and would otherwise insert its own
             # (non-stable, partition-column-only) sort, destroying the
             # secondary order.  With pb first, the plan's output
             # ordering already satisfies the writer's requirement and
             # the (pb, *sort_by) order survives into the files.
-            out = out.sortWithinPartitions(_PART_DIR_COL, *sort_by)
-        out.write.partitionBy(_PART_DIR_COL).mode("error").parquet(out_dir)
+            out = out.sortWithinPartitions(*part_cols, *sort_by)
+        out.write.partitionBy(*part_cols).mode("error").parquet(out_dir)
         stat_cols = {
             f.name: f.dataType.simpleString()
             for f in df.schema.fields
             if _stats_eligible(f.dataType.simpleString())
-            and f.name not in (_BUCKET_COL, _PART_DIR_COL, _DELETED_COL)
+            and f.name not in (_BUCKET_COL, _PART_DIR_COL, _DELETED_COL, cdf_col)
         }
         files: dict[str, list[dict[str, Any]]] = {}
+        cdf: dict[str, list[dict[str, Any]]] = {"pre": [], "chg": []}
         for d in sorted(os.listdir(out_dir)):
             if not d.startswith(f"{_PART_DIR_COL}="):
                 continue
             b = d.split("=", 1)[1]
-            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                if fn.endswith(".parquet"):
+            subdirs = (
+                [os.path.join(d, s) for s in sorted(os.listdir(os.path.join(out_dir, d)))
+                 if s.startswith(f"{cdf_col}=")]
+                if cdf_col
+                else [d]
+            )
+            for sub in subdirs:
+                kind = sub.rsplit("=", 1)[1] if cdf_col else "d"
+                for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(_DATA, delta, sub, fn)
+                    if kind == "p":
+                        cdf["pre"].append(
+                            {"path": rel, "schema_version": schema_version}
+                        )
+                        continue
+                    if kind == "c":
+                        cdf["chg"].append(
+                            {"path": rel, "schema_version": schema_version}
+                        )
+                        continue
                     entry = {
-                        "path": os.path.join(_DATA, delta, d, fn),
+                        "path": rel,
                         "schema_version": schema_version,
                     }
                     if mor:
                         entry["mor"] = True
                     stats, n_rows = _file_stats(
-                        os.path.join(out_dir, d, fn), stat_cols
+                        os.path.join(out_dir, sub, fn), stat_cols
                     )
                     if stats:
                         entry["stats"] = stats
                     if n_rows is not None:
                         entry["rows"] = n_rows
                     files.setdefault(b, []).append(entry)
-        return files
+        return (files, cdf) if cdf_col else files
 
     def append(
         self,
@@ -1512,6 +1678,12 @@ class LakeTable:
             snap = self.snapshot(v)
             for fl in snap.files.values():
                 referenced.update(fe["path"] for fe in fl)
+            # write-time capture files are part of their snapshot: a
+            # kept version must stay incrementally readable
+            cdf = snap.summary.get("cdf")
+            if cdf:
+                for kind in ("pre", "chg"):
+                    referenced.update(fe["path"] for fe in cdf.get(kind, []))
         # live staged snapshots pin their files too — aborting a stage
         # (unlinking its json) is what releases them to this sweep
         for name in self.staged_names():
@@ -1523,17 +1695,18 @@ class LakeTable:
             ddir = os.path.join(data_root, delta)
             if not os.path.isdir(ddir):
                 continue
-            for sub in sorted(os.listdir(ddir)):
-                sdir = os.path.join(ddir, sub)
-                if not os.path.isdir(sdir):
-                    continue
-                for fn in os.listdir(sdir):
-                    rel = os.path.join(_DATA, delta, sub, fn)
+            # depth varies: pb=B/part.parquet, or pb=B/_cdf=x/part.parquet
+            # for capture-enabled commits — walk bottom-up so emptied
+            # nested dirs collapse
+            for root_dir, dirs, fns in os.walk(ddir, topdown=False):
+                for fn in fns:
+                    full = os.path.join(root_dir, fn)
+                    rel = os.path.relpath(full, self.root)
                     if fn.endswith(".parquet") and rel not in referenced:
-                        os.unlink(os.path.join(sdir, fn))
+                        os.unlink(full)
                         files_removed += 1
-                if not os.listdir(sdir):
-                    os.rmdir(sdir)
+                if root_dir != ddir and not os.listdir(root_dir):
+                    os.rmdir(root_dir)
             if not os.listdir(ddir):
                 os.rmdir(ddir)
         for v in drop:
