@@ -298,6 +298,43 @@ def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_EVENT_COLS, F.col("last_op").alias("op"))
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup — the CDC serving path ("current
+    row for THESE keys").  Replays the change log in three MoR epochs
+    into a ``key_blooms=True`` table (every delta file gets a per-file
+    key Bloom sidecar, lake/bloomidx.py), leaves the deltas
+    uncompacted so generations accumulate, then answers the lookup
+    for a deterministic key subset (user_id % 7 == 3) through the
+    sidecar-pruned read path: only bloom-positive files are read, not
+    every generation of the keys' buckets.  Oracle = the
+    replay-equivalence window over the full log filtered to the same
+    keys — pruning must be invisible to results."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_lkp_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+        key_blooms=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id", merge_mode="mor")
+    mx = log.agg(F.max("event_id")).first()[0]
+    applier.run(log, epoch_size=int(mx) // 3 + 1)
+    keys = log.select("user_id").where(F.col("user_id") % 7 == 3).distinct()
+    return table.lookup(keys).select(
+        *_EVENT_COLS, F.col("last_op").alias("op")
+    )
+
+
 def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 anti-join find-new: the log tail vs composite keys seen in
     the first 10% (reference: find_new_properties.py:20-52; the
@@ -2170,6 +2207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first stage of curate_sample_stratified / curate_token_budget
         # / pipeline_curate_v2, all in-prefix — demoted round 4 to make
         # room for the maintained-index and replica capabilities.
+        # cdc_point_lookup (new round 4: per-file key-Bloom sidecars +
+        # LakeTable.lookup) leads the tail so a wider driver window
+        # picks it up first; its oracle is _FINAL_STATE_SQL restricted
+        # to the looked-up keys.
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_latest_state": q_cdc_latest_state,
         "curate_sample_hash": q_curate_sample_hash,
         "cdc_conflate_window_salted": q_cdc_conflate_window_salted,
@@ -2194,6 +2236,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conflate_light": _FINAL_STATE_SQL,
         "cdc_merge_replay": _FINAL_STATE_SQL,
         "cdc_merge_replay_mor": _FINAL_STATE_SQL,
+        "cdc_point_lookup": (
+            f"select * from ({_FINAL_STATE_SQL}) t where user_id % 7 = 3"
+        ),
         "cdc_replicate": _FINAL_STATE_SQL,
         "cdc_incremental_rollup": f"""
 with final as ({_FINAL_STATE_SQL})

@@ -1,0 +1,204 @@
+"""Per-file key Bloom sidecars: the point-lookup index.
+
+A CDC-ingested table answers two read shapes: "scan the current
+state" (``LakeTable.read``) and "what is the current row for THESE
+keys" — the serving-path point lookup.  Bucket hashing already
+narrows a lookup to one bucket, but at 100 TB a bucket still holds
+many file generations (a MoR base plus every uncompacted delta, or a
+long append history), and reading them all to find one url is the
+wrong cost.  This module gives every data file a Bloom filter over
+the table's key columns, so a lookup reads only the files that MAY
+contain a requested key: no false negatives by construction, ~fpp of
+the non-matching files read by accident.
+
+Layout.  Each commit writes ONE sidecar parquet directory inside its
+own delta dir (``_data/<delta>/_bloom``) holding the packed filter
+words of every data file the commit produced::
+
+    path string     -- manifest-relative data-file path
+    m_bits bigint   -- filter size for that file (rows * bits/key)
+    w bigint        -- word index (bit_position div 64)
+    word bigint     -- packed 64 bits
+
+Same packed-words representation as the MERGE winner pushdown
+(operators/bloom.py): the build is one distributed job (read ONLY the
+key columns of the just-written files — column-pruned parquet —
+explode each key into k=``BLOOM_K`` xxhash64 bit positions, bit_or
+into words), so the driver never holds keys; the probe is a
+words-table join.  Because the sidecar lives inside the delta dir,
+snapshot expiration garbage-collects it with the commit's data files
+(referenced sidecars are pinned by the manifest ``bloom`` entry).
+
+Filters hash key VALUES (xxhash64 over the key tuple), never column
+names, so they stay valid across rename evolution; widen evolution of
+a key column would change hash inputs and is rejected elsewhere.
+
+Sizing: ``BLOOM_BITS_PER_KEY`` = 16, ``BLOOM_K`` = 4 → fpp ≈ 0.24%
+per file.  A 1M-row file carries a ~250k-word (≈2 MB) sidecar — 0.2%
+of the data it indexes; probing touches only the sidecars of the
+looked-up keys' buckets.
+
+Reference analogue: none (the reference's Fusion-Tables store has no
+files to prune, fusion_tables_client.py:21-26); this is the Iceberg
+puffin / Delta bloom-index shape rebuilt on the engine's own
+manifests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_K = 4
+BLOOM_BITS_PER_KEY = 16
+SIDECAR_DIRNAME = "_bloom"
+
+# entries written before blooms were enabled (or by non-bloom writers)
+# have no "bloom" key and are always lookup candidates.
+ENTRY_KEY = "bloom"
+
+
+def bloom_m_bits(rows: int) -> int:
+    """Filter size for a file of ``rows`` keys: word-aligned
+    rows*BITS, floored at 256 so tiny files still hash sparsely."""
+    return max(256, ((rows * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+
+
+def _positions(key_cols: list[F.Column], m_bits: F.Column) -> F.Column:
+    """Array of the BLOOM_K bit positions of one key tuple."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(*key_cols, F.lit(i)), m_bits)
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def _norm_uri(col: F.Column) -> F.Column:
+    """input_file_name() URI → plain absolute path."""
+    return F.url_decode(F.regexp_replace(col, r"^file:/*", "/"))
+
+
+def build_bloom_sidecar(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict[str, Any]],
+    key_cols: list[str],
+    sidecar_rel: str,
+) -> None:
+    """One distributed job: per-file packed Bloom words for every data
+    file in ``entries`` (manifest entries carrying ``path`` and
+    ``rows``), written as a parquet dir at ``root/sidecar_rel``.
+
+    Only the key columns are read (parquet column pruning — the html
+    payload never moves); the words aggregate has map-side partial
+    combine, and output is at most ``sum(m_bits)/64`` rows of four
+    scalars.  Entries with unknown row counts get a one-pass count
+    first (legacy manifests only; writes since round 4 record rows).
+    """
+    if not entries:
+        return
+    abs_of = {
+        os.path.normpath(os.path.join(root, e["path"])): e for e in entries
+    }
+    paths = sorted(abs_of)
+    need_count = [p for p in paths if abs_of[p].get("rows") is None]
+    keys = (
+        spark.read.parquet(*paths)
+        .select(*key_cols)
+        .withColumn("_abs", _norm_uri(F.input_file_name()))
+    )
+    counts: dict[str, int] = {
+        p: int(abs_of[p]["rows"]) for p in paths if p not in set(need_count)
+    }
+    if need_count:
+        for r in (
+            keys.where(F.col("_abs").isin(need_count))
+            .groupBy("_abs")
+            .count()
+            .collect()
+        ):
+            counts[r["_abs"]] = int(r["count"])
+    meta = spark.createDataFrame(
+        [
+            (p, abs_of[p]["path"], bloom_m_bits(counts.get(p, 0)))
+            for p in paths
+        ],
+        "_abs string, path string, m_bits bigint",
+    )
+    words = (
+        keys.join(F.broadcast(meta), on="_abs")
+        .select(
+            "path",
+            "m_bits",
+            F.explode(
+                _positions([F.col(c) for c in key_cols], F.col("m_bits"))
+            ).alias("_pos"),
+        )
+        .select(
+            "path",
+            "m_bits",
+            F.expr("_pos div 64").alias("w"),
+            # shift amount must be a column -> SQL shiftleft; bit 63 is
+            # the sign bit, which bit_or treats as a plain bit
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_b"),
+        )
+        .groupBy("path", "m_bits", "w")
+        .agg(F.bit_or("_b").alias("word"))
+    )
+    words.write.mode("error").parquet(os.path.join(root, sidecar_rel))
+
+
+def bloom_candidate_paths(
+    spark: SparkSession,
+    root: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    covered: list[tuple[str, int, str]],
+) -> set[str]:
+    """Data files (of ``covered`` = [(path, bucket, sidecar_rel)])
+    that MAY contain at least one key of ``keys_df`` (which carries
+    the key columns plus the precomputed ``_b`` bucket column).
+
+    Probe plan: load the needed sidecars pruned to the covered paths,
+    pair each key with the covered files OF ITS BUCKET only, test all
+    BLOOM_K bits via one (path, w) equi-join.  No false negatives:
+    a file is dropped only if some bit of every requested key is
+    provably unset.  Empty files write no words, get no meta row, and
+    are correctly never candidates.
+    """
+    if not covered:
+        return set()
+    sidecars = sorted({os.path.join(root, s) for _, _, s in covered})
+    path_set = [p for p, _, _ in covered]
+    words = spark.read.parquet(*sidecars).where(F.col("path").isin(path_set))
+    fmeta = spark.createDataFrame(
+        [(p, b) for p, b, _ in covered], "path string, _b int"
+    ).join(words.select("path", "m_bits").distinct(), on="path")
+
+    pairs = keys_df.join(F.broadcast(fmeta), on="_b")
+    keep = F.lit(True)
+    drop_cols: list[str] = []
+    for i in range(BLOOM_K):
+        pos_c, w_c, word_c = f"_pos{i}", f"_w{i}", f"_word{i}"
+        pairs = pairs.withColumn(
+            pos_c,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols], F.lit(i)),
+                F.col("m_bits"),
+            ),
+        ).withColumn(w_c, F.expr(f"{pos_c} div 64"))
+        probe = words.select(
+            F.col("path"), F.col("w").alias(w_c), F.col("word").alias(word_c)
+        )
+        pairs = pairs.join(F.broadcast(probe), on=["path", w_c], how="left")
+        bit = F.expr(f"shiftleft(1L, cast({pos_c} % 64 as int))")
+        keep = keep & (
+            F.coalesce(F.col(word_c), F.lit(0)).bitwiseAND(bit) != 0
+        )
+        drop_cols += [pos_c, w_c, word_c]
+    hit = pairs.where(keep).select("path").distinct()
+    return {r["path"] for r in hit.collect()}

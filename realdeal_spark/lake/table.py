@@ -199,6 +199,12 @@ class Snapshot:
     # resurrect the row.  Makes final state independent of how the
     # log is chopped into epochs.
     soft_delete: bool = False
+    # key_blooms: every data file written while this is set gets a
+    # per-file Bloom sidecar over the key columns (lake/bloomidx.py),
+    # enabling point lookups that read only bloom-positive files.
+    # Files written before the flag have no "bloom" entry and stay
+    # always-candidates — correctness never depends on coverage.
+    key_blooms: bool = False
 
     def to_json(self) -> str:
         return json.dumps(
@@ -217,6 +223,7 @@ class Snapshot:
                 "summary": self.summary,
                 "applied_epochs": self.applied_epochs,
                 "soft_delete": self.soft_delete,
+                "key_blooms": self.key_blooms,
             },
             indent=1,
             sort_keys=True,
@@ -240,6 +247,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             applied_epochs=d.get("applied_epochs", []),
             soft_delete=d.get("soft_delete", False),
+            key_blooms=d.get("key_blooms", False),
         )
 
 
@@ -313,6 +321,7 @@ class LakeTable:
         order_columns: list[str],
         n_buckets: int = 64,
         soft_delete: bool = False,
+        key_blooms: bool = False,
     ) -> "LakeTable":
         """Create an empty table.
 
@@ -320,7 +329,9 @@ class LakeTable:
         ``[warc_ts, lsn]``): a matched MERGE row only wins if its
         order tuple is >= the target's (out-of-order protection,
         SURVEY §2.9 ST6).  ``soft_delete`` keeps tombstones (see
-        Snapshot) — the CDC sink turns it on.
+        Snapshot) — the CDC sink turns it on.  ``key_blooms`` writes
+        per-file key Bloom sidecars for :meth:`lookup` (see
+        lake/bloomidx.py; also :meth:`set_key_blooms`).
         """
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
@@ -341,6 +352,7 @@ class LakeTable:
             files={},
             summary={"operation": "create"},
             soft_delete=soft_delete,
+            key_blooms=key_blooms,
         )
         t._commit(snap)
         return t
@@ -377,6 +389,7 @@ class LakeTable:
         range_filters: dict[str, tuple[Any, Any]] | None = None,
         snapshot: Snapshot | None = None,
         tag: str | None = None,
+        file_allowlist: set[str] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to buckets.
         ``snapshot`` overrides ``version`` with an explicit Snapshot
@@ -407,6 +420,15 @@ class LakeTable:
         lever, planned driver-side before any scan.  At 100 TB this
         turns "events with lsn ∈ [a, b]" over an append-only log
         table into a read of just the epochs that overlap the range.
+
+        ``file_allowlist`` — manifest-relative paths; when set, only
+        listed files are read.  Used by :meth:`lookup` with a
+        Bloom-pruned set; the caller owns completeness (blooms have
+        no false negatives, so every file that may hold a looked-up
+        key survives and the MoR reconcile stays complete FOR THOSE
+        KEYS; rows of other keys may lose generations and must not
+        be consumed).
+
         File skipping is only applied in buckets with no MoR deltas:
         in a MoR bucket, dropping one file generation could change
         which row the latest-per-key reconcile picks (a filter on a
@@ -433,7 +455,14 @@ class LakeTable:
         # group pruned file list by writer schema version
         by_sv: dict[int, list[str]] = {}
         selected = [
-            (b, flist)
+            (
+                b,
+                [
+                    fe
+                    for fe in flist
+                    if file_allowlist is None or fe["path"] in file_allowlist
+                ],
+            )
             for b, flist in snap.files.items()
             if want is None or b in want
         ]
@@ -534,6 +563,135 @@ class LakeTable:
                 F.coalesce(F.col(_DELETED_COL), F.lit(False)).alias(_DELETED_COL)
             )
         return df.select(*cols)
+
+    # ------------------------------------------------------ point lookup
+
+    def set_key_blooms(self, enabled: bool = True) -> Snapshot:
+        """Commit a metadata-only snapshot flipping the ``key_blooms``
+        flag.  Takes effect for every file written from the next
+        commit on; existing files stay legacy (always lookup
+        candidates) until compaction rewrites them under the flag."""
+        snap = self.snapshot()
+        out = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema_versions=snap.schema_versions,
+            current_schema=snap.current_schema,
+            n_buckets=snap.n_buckets,
+            key_columns=snap.key_columns,
+            order_columns=snap.order_columns,
+            files=snap.files,
+            summary={"operation": "set-key-blooms", "enabled": enabled},
+            applied_epochs=list(snap.applied_epochs),
+            soft_delete=snap.soft_delete,
+            key_blooms=enabled,
+        )
+        self._commit(out)
+        return out
+
+    def _keys_frame(self, snap: Snapshot, keys: Any) -> DataFrame:
+        """Normalize lookup input to a DataFrame of the key columns:
+        pass a DataFrame carrying them, or a list of values (single
+        key column) / tuples (composite key)."""
+        if isinstance(keys, DataFrame):
+            missing = [c for c in snap.key_columns if c not in keys.columns]
+            if missing:
+                raise ValueError(f"lookup keys frame lacks {missing}")
+            return keys.select(*snap.key_columns)
+        cur = self._schema_version(snap, snap.current_schema)
+        by_name = {f["name"]: f["type"] for f in cur.fields}
+        schema = T.StructType(
+            [
+                T.StructField(c, _parse_type(by_name[c]), True)
+                for c in snap.key_columns
+            ]
+        )
+        rows = [
+            k if isinstance(k, (tuple, list)) else (k,) for k in keys
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _lookup_candidates(
+        self, snap: Snapshot, keys_df: DataFrame
+    ) -> tuple[list[int], set[str], dict, DataFrame]:
+        """Plan one point lookup: candidate buckets (metadata-sized
+        collect), then the file allowlist — legacy files of those
+        buckets plus the Bloom-positive covered files (see
+        lake/bloomidx.py).  Returns (buckets, allowlist, stats,
+        distinct-keys frame with ``_b``) — split out for the pruning
+        tests."""
+        from realdeal_spark.lake import bloomidx
+
+        key_cols = snap.key_columns
+        kdf = keys_df.select(*key_cols).na.drop().distinct()
+        kdf = kdf.withColumn(
+            "_b",
+            F.pmod(F.xxhash64(*key_cols), F.lit(snap.n_buckets)).cast("int"),
+        ).localCheckpoint(eager=True)
+        buckets = sorted(r["_b"] for r in kdf.select("_b").distinct().collect())
+        covered: list[tuple[str, int, str]] = []
+        allow: set[str] = set()
+        total = 0
+        for b in buckets:
+            for fe in snap.files.get(str(b), []):
+                total += 1
+                sidecar = fe.get(bloomidx.ENTRY_KEY)
+                if sidecar:
+                    covered.append((fe["path"], b, sidecar))
+                else:
+                    allow.add(fe["path"])  # legacy: always a candidate
+        if covered:
+            allow |= bloomidx.bloom_candidate_paths(
+                self.spark, self.root, kdf, key_cols, covered
+            )
+        stats = {
+            "buckets": len(buckets),
+            "files_in_buckets": total,
+            "files_read": len(allow),
+            "files_pruned": total - len(allow),
+            "files_legacy": total - len(covered),
+        }
+        return buckets, allow, stats, kdf
+
+    def lookup(
+        self,
+        keys: Any,
+        version: int | None = None,
+        tag: str | None = None,
+        snapshot: Snapshot | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Point lookup: the current visible row for each requested
+        key — the CDC serving path ("what is the latest state of url
+        X").  Absent / deleted keys yield no row.
+
+        Cost is the lever: bucket hashing narrows to the keys' own
+        buckets, and on a ``key_blooms`` table the per-file sidecars
+        narrow further to the files that MAY contain a requested key
+        (no false negatives; ≈0.24% of other files read by accident).
+        A MoR bucket holding one base plus k deltas reads only the
+        generations that ever touched the key instead of all k+1 —
+        at 10^10 rows the difference between a point read and a
+        bucket scan.  Planning is metadata-sized (bucket ids + file
+        paths on the driver); keys themselves stay distributed, so a
+        10^5-key batch lookup plans exactly like a 1-key one.
+        """
+        if tag is not None:
+            if version is not None or snapshot is not None:
+                raise ValueError("pass at most one of version/snapshot/tag")
+            version = self.resolve_tag(tag)
+        snap = snapshot if snapshot is not None else self.snapshot(version)
+        keys_df = self._keys_frame(snap, keys)
+        buckets, allow, _stats, kdf = self._lookup_candidates(snap, keys_df)
+        out = self.read(
+            snapshot=snap,
+            buckets=buckets,
+            file_allowlist=allow,
+            include_deleted=include_deleted,
+        )
+        return out.join(
+            F.broadcast(kdf.drop("_b")), on=snap.key_columns, how="leftsemi"
+        )
 
     def read_changes(
         self,
@@ -985,7 +1143,35 @@ class LakeTable:
                     if n_rows is not None:
                         entry["rows"] = n_rows
                     files.setdefault(b, []).append(entry)
+        self._maybe_build_blooms(df, delta, files)
         return (files, cdf) if cdf_col else files
+
+    def _maybe_build_blooms(
+        self, df: DataFrame, delta: str, files: dict[str, list[dict[str, Any]]]
+    ) -> None:
+        """Per-file key Bloom sidecar for one commit's data files (see
+        lake/bloomidx.py).  Runs only when the table's ``key_blooms``
+        flag is set; one keys-only distributed job per commit, its
+        output a single ``_data/<delta>/_bloom`` parquet dir that
+        every new entry's ``bloom`` field points at.  Capture
+        partitions (``_cdf=p/c``) are not lookup-read and get none."""
+        if not files:
+            return
+        snap = self.snapshot()
+        if not snap.key_blooms:
+            return
+        key_cols = snap.key_columns
+        if not set(key_cols) <= set(df.columns):
+            return  # caller wrote a non-table-shaped frame; stay legacy
+        from realdeal_spark.lake import bloomidx
+
+        sidecar_rel = os.path.join(_DATA, delta, bloomidx.SIDECAR_DIRNAME)
+        entries = [fe for fl in files.values() for fe in fl]
+        bloomidx.build_bloom_sidecar(
+            self.spark, self.root, entries, key_cols, sidecar_rel
+        )
+        for fe in entries:
+            fe[bloomidx.ENTRY_KEY] = sidecar_rel
 
     def append(
         self,
@@ -1074,6 +1260,7 @@ class LakeTable:
             summary={"operation": op, **extra_summary, **(summary or {})},
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
+            key_blooms=snap.key_blooms,
         )
         if stage:
             self._commit_staged(out, stage)
@@ -1323,6 +1510,7 @@ class LakeTable:
                 summary={"operation": "merge", **(summary or {})},
                 applied_epochs=applied,
                 soft_delete=base.soft_delete,
+                key_blooms=base.key_blooms,
             )
             try:
                 self._commit(out)
@@ -1373,6 +1561,7 @@ class LakeTable:
                 summary={"operation": "merge-mor", **(summary or {})},
                 applied_epochs=applied,
                 soft_delete=base.soft_delete,
+                key_blooms=base.key_blooms,
             )
             try:
                 self._commit(out)
@@ -1403,6 +1592,7 @@ class LakeTable:
             summary={"operation": op},
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
+            key_blooms=snap.key_blooms,
         )
         self._commit(out)
         return out
@@ -1556,6 +1746,7 @@ class LakeTable:
             summary={"operation": f"rebucket {snap.n_buckets} -> {new_n}"},
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
+            key_blooms=snap.key_blooms,
         )
         self._commit(committed)
         return committed
@@ -1689,6 +1880,24 @@ class LakeTable:
         for name in self.staged_names():
             for fl in self.staged_snapshot(name).files.values():
                 referenced.update(fe["path"] for fe in fl)
+        # Bloom sidecars are pinned by the manifest entries that point
+        # at them; unreferenced ones (expired commits, compacted-away
+        # deltas) fall to the sweep like any other parquet.
+        bloom_dirs: set[str] = set()
+        pinned_snaps = [self.snapshot(v) for v in keep] + [
+            self.staged_snapshot(n) for n in self.staged_names()
+        ]
+        for s in pinned_snaps:
+            for fl in s.files.values():
+                for fe in fl:
+                    if fe.get("bloom"):
+                        bloom_dirs.add(fe["bloom"])
+        for bd in sorted(bloom_dirs):
+            full = os.path.join(self.root, bd)
+            if os.path.isdir(full):
+                referenced.update(
+                    os.path.join(bd, fn) for fn in os.listdir(full)
+                )
         files_removed = 0
         data_root = os.path.join(self.root, _DATA)
         for delta in sorted(os.listdir(data_root)):
