@@ -172,9 +172,34 @@ def bloom_candidate_paths(
     """
     if not covered:
         return set()
-    sidecars = sorted({os.path.join(root, s) for _, _, s in covered})
+    # Expand sidecar dirs to their part files driver-side: the dir
+    # name starts with "_" (so data-dir listings hide it), and Spark's
+    # hidden-path filter must never decide what a lookup reads.  A
+    # sidecar that lost its parts (manual deletion) degrades its
+    # files to always-candidates — correctness never depends on it.
+    parts: list[str] = []
+    degraded: set[str] = set()
+    for sc in sorted({s for _, _, s in covered}):
+        full = os.path.join(root, sc)
+        found = (
+            sorted(
+                os.path.join(full, fn)
+                for fn in os.listdir(full)
+                if fn.endswith(".parquet")
+            )
+            if os.path.isdir(full)
+            else []
+        )
+        if found:
+            parts += found
+        else:
+            degraded.add(sc)
+    always = {p for p, _, s in covered if s in degraded}
+    covered = [(p, b, s) for p, b, s in covered if s not in degraded]
+    if not covered:
+        return always
     path_set = [p for p, _, _ in covered]
-    words = spark.read.parquet(*sidecars).where(F.col("path").isin(path_set))
+    words = spark.read.parquet(*parts).where(F.col("path").isin(path_set))
     fmeta = spark.createDataFrame(
         [(p, b) for p, b, _ in covered], "path string, _b int"
     ).join(words.select("path", "m_bits").distinct(), on="path")
@@ -201,4 +226,4 @@ def bloom_candidate_paths(
         )
         drop_cols += [pos_c, w_c, word_c]
     hit = pairs.where(keep).select("path").distinct()
-    return {r["path"] for r in hit.collect()}
+    return always | {r["path"] for r in hit.collect()}
