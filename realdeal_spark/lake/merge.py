@@ -427,11 +427,32 @@ def _merge_apply_mor(
         return MergeResult(snapshot=None)
 
     try:
+        # On a key_blooms table, probe the touched buckets' per-file
+        # sidecars with the batch keys first (lake/bloomidx.py): the
+        # classification read then opens only files that MAY contain a
+        # batch key.  Safe because blooms have no false negatives —
+        # every existing generation of every batch key survives, so
+        # the left join below sees the complete target state FOR THE
+        # BATCH KEYS (non-batch keys never exit a left join on src).
+        # Between compactions this skips the delta files an epoch's
+        # keys never touched; the probe itself costs one sidecar read
+        # over the touched buckets (metadata-sized next to the scan it
+        # prunes).
+        bloom_allow = None
+        bloom_stats = None
+        if snap.key_blooms:
+            _, bloom_allow, bloom_stats, _ = table._lookup_candidates(
+                snap, src.select(*key_cols)
+            )
         # narrow current state of the touched buckets (reconciled
         # across any earlier MoR deltas; parquet reads only these
         # columns thanks to column pruning through read()'s projection)
         tgt = (
-            table.read(buckets=touched, include_deleted=True)
+            table.read(
+                buckets=touched,
+                include_deleted=True,
+                file_allowlist=bloom_allow,
+            )
             .select(*key_cols, *order_cols, _DELETED_COL)
         )
         # classification is fully NARROW: only (key, order, op) of the
@@ -596,6 +617,11 @@ def _merge_apply_mor(
             "deleted": result.deleted,
             "unchanged": result.unchanged,
             "stale": result.stale,
+            **(
+                {"classify_bloom": bloom_stats}
+                if bloom_stats is not None
+                else {}
+            ),
             **(extra_summary or {}),
         }
         result.snapshot = table.commit_file_additions(

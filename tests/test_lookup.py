@@ -207,3 +207,27 @@ def test_bloom_m_bits_word_aligned():
     assert bloom_m_bits(0) == 256
     assert bloom_m_bits(1_000) % 64 == 0
     assert bloom_m_bits(1_000) >= 1_000 * 16
+
+
+def test_mor_classification_bloom_pruning_converges(spark, tmp_path):
+    """On a key_blooms table the MoR classification read is pruned to
+    bloom-positive files; final state must equal the unbloomed
+    table's, and the commit summary must record the pruning."""
+    tb = _mk(spark, tmp_path, "t9", key_blooms=True)
+    tp = _mk(spark, tmp_path, "t9p", key_blooms=False)
+    epochs = [
+        _batch(spark, 0, 200),
+        _batch(spark, 200, 400),
+        # revisit a slice with newer order + a delete wave
+        _batch(spark, 50, 80, ts_shift=10_000, v=1),
+        _batch(spark, 300, 320, op="delete", ts_shift=10_000),
+    ]
+    for i, e in enumerate(epochs):
+        merge_apply(tb, e, mode="mor", epoch_id=f"e{i}")
+        merge_apply(tp, e, mode="mor", epoch_id=f"e{i}")
+    assert _rows(tb.read()) == _rows(tp.read())
+    stats = tb.snapshot().summary.get("classify_bloom")
+    assert stats is not None and stats["files_read"] >= 1
+    # epoch 3 touched only keys 300..319: generations from other
+    # epochs in its buckets must have been pruned from the classify
+    assert stats["files_pruned"] > 0
