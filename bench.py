@@ -78,9 +78,11 @@ HEADLINE = HEADLINE_R1 + [
     "curate_token_budget",
     "knn_ivf_broadcast",
     # round-4 session additions: the CDC-maintained secondary index
-    # (advance, not rebuild) and the changes-feed replica
+    # (advance, not rebuild), the changes-feed replica, and the
+    # bloom-sidecar point lookup (MoR replay + sidecar-pruned serve)
     "knn_ivf_maintained",
     "cdc_replicate",
+    "cdc_point_lookup",
 ]
 
 

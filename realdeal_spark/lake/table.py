@@ -30,6 +30,7 @@ here evolution is explicit and versioned.)
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -43,6 +44,15 @@ from pyspark.sql import types as T
 
 _META = "_meta"
 _DATA = "data"
+_MANIFESTS = "manifests"
+
+# Snapshots whose total file-entry count reaches this spill their
+# per-bucket file lists to content-addressed manifest files
+# (_meta/manifests/m-<sha1>.json) and reference them by path — the
+# Iceberg manifest-list shape.  Below it the inventory stays inline
+# in the snapshot JSON (debuggable, zero extra files).  See
+# LakeTable._snap_to_json for why this is the 100-TB metadata lever.
+MANIFEST_SPILL_MIN = 4096
 _BUCKET_COL = "_bucket"
 _DELETED_COL = "_deleted"
 _PART_DIR_COL = "pb"
@@ -205,33 +215,43 @@ class Snapshot:
     # Files written before the flag have no "bloom" entry and stay
     # always-candidates — correctness never depends on coverage.
     key_blooms: bool = False
+    # manifest-relative path of each bucket's externalized file list
+    # (set by the loader when this snapshot was read from spilled
+    # form; see LakeTable._snap_to_json).  Not part of equality — the
+    # same logical snapshot may be inline or spilled.
+    bucket_manifests: dict[str, str] | None = field(
+        default=None, compare=False, repr=False
+    )
+
+    def _meta_dict(self) -> dict[str, Any]:
+        """Everything but the file inventory (shared by the inline and
+        manifest-spilled serializations)."""
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "schema_versions": [
+                {"version": sv.version, "fields": sv.fields}
+                for sv in self.schema_versions
+            ],
+            "current_schema": self.current_schema,
+            "n_buckets": self.n_buckets,
+            "key_columns": self.key_columns,
+            "order_columns": self.order_columns,
+            "summary": self.summary,
+            "applied_epochs": self.applied_epochs,
+            "soft_delete": self.soft_delete,
+            "key_blooms": self.key_blooms,
+        }
 
     def to_json(self) -> str:
         return json.dumps(
-            {
-                "version": self.version,
-                "parent": self.parent,
-                "schema_versions": [
-                    {"version": sv.version, "fields": sv.fields}
-                    for sv in self.schema_versions
-                ],
-                "current_schema": self.current_schema,
-                "n_buckets": self.n_buckets,
-                "key_columns": self.key_columns,
-                "order_columns": self.order_columns,
-                "files": self.files,
-                "summary": self.summary,
-                "applied_epochs": self.applied_epochs,
-                "soft_delete": self.soft_delete,
-                "key_blooms": self.key_blooms,
-            },
+            {**self._meta_dict(), "files": self.files},
             indent=1,
             sort_keys=True,
         )
 
     @staticmethod
-    def from_json(s: str) -> "Snapshot":
-        d = json.loads(s)
+    def _from_dict(d: dict[str, Any]) -> "Snapshot":
         return Snapshot(
             version=d["version"],
             parent=d["parent"],
@@ -249,6 +269,18 @@ class Snapshot:
             soft_delete=d.get("soft_delete", False),
             key_blooms=d.get("key_blooms", False),
         )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        """Inline form only — manifest-spilled snapshots need the
+        table root to resolve bucket manifests; use
+        ``LakeTable._snap_from_json``."""
+        d = json.loads(s)
+        if "manifest_files" in d:
+            raise ValueError(
+                "manifest-spilled snapshot: load via a LakeTable handle"
+            )
+        return Snapshot._from_dict(d)
 
 
 class CommitConflict(Exception):
@@ -291,14 +323,79 @@ class LakeTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         with open(self._snap_path(v)) as f:
-            return Snapshot.from_json(f.read())
+            return self._snap_from_json(f.read())
+
+    # ------------------------------------------- manifest spill (scale)
+
+    def _snap_to_json(self, snap: Snapshot) -> str:
+        """Serialize a snapshot, spilling the file inventory to
+        per-bucket manifest files once it is large.
+
+        Inline inventories make every commit rewrite metadata
+        proportional to the WHOLE table (10^6 files ≈ 10^2 MB of JSON
+        fsync'd per epoch) — the classic reason Iceberg keeps a tiny
+        snapshot pointing at reusable manifests.  Spilled form writes
+        each bucket's entry list to a content-addressed
+        ``_meta/manifests/m-<sha1>.json`` (create-if-absent: an
+        unchanged bucket hashes to the file that already exists, so a
+        commit's metadata IO is O(touched buckets), and two writers /
+        a rebase retry producing the same bucket content share one
+        file).  The residual O(total entries) per commit is CPU-only
+        (hashing), not IO.  Readers resolve manifests in
+        :meth:`_snap_from_json`; ``expire_snapshots`` sweeps
+        unreferenced manifests."""
+        total = sum(len(fl) for fl in snap.files.values())
+        if total < MANIFEST_SPILL_MIN:
+            return snap.to_json()
+        mdir = os.path.join(self._meta_dir(), _MANIFESTS)
+        os.makedirs(mdir, exist_ok=True)
+        manifests: dict[str, str] = {}
+        for b, fl in snap.files.items():
+            payload = json.dumps(fl, sort_keys=True)
+            h = hashlib.sha1(payload.encode()).hexdigest()
+            rel = os.path.join(_META, _MANIFESTS, f"m-{h}.json")
+            full = os.path.join(self.root, rel)
+            if not os.path.exists(full):
+                tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, full)
+                except FileExistsError:
+                    pass  # concurrent writer landed identical content
+                finally:
+                    os.unlink(tmp)
+            manifests[b] = rel
+        snap.bucket_manifests = manifests
+        return json.dumps(
+            {**snap._meta_dict(), "manifest_files": manifests},
+            indent=1,
+            sort_keys=True,
+        )
+
+    def _snap_from_json(self, s: str) -> Snapshot:
+        """Deserialize either form; spilled snapshots resolve their
+        bucket manifests against this table's root."""
+        d = json.loads(s)
+        manifests = d.pop("manifest_files", None)
+        if manifests is not None:
+            files: dict[str, list] = {}
+            for b, rel in manifests.items():
+                with open(os.path.join(self.root, rel)) as f:
+                    files[b] = json.load(f)
+            d["files"] = files
+        snap = Snapshot._from_dict(d)
+        snap.bucket_manifests = manifests
+        return snap
 
     def _commit(self, snap: Snapshot) -> None:
         """Atomic create-only commit of ``v{N}.json`` via hard link."""
         os.makedirs(self._meta_dir(), exist_ok=True)
         tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            f.write(snap.to_json())
+            f.write(self._snap_to_json(snap))
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -1281,7 +1378,7 @@ class LakeTable:
         path = self._staged_path(name)
         tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            f.write(snap.to_json())
+            f.write(self._snap_to_json(snap))
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -1303,7 +1400,7 @@ class LakeTable:
     def staged_snapshot(self, name: str) -> Snapshot:
         try:
             with open(self._staged_path(name)) as f:
-                return Snapshot.from_json(f.read())
+                return self._snap_from_json(f.read())
         except FileNotFoundError:
             raise KeyError(f"no staged snapshot {name!r} at {self.root}") from None
 
@@ -1898,6 +1995,21 @@ class LakeTable:
                 referenced.update(
                     os.path.join(bd, fn) for fn in os.listdir(full)
                 )
+        # spilled bucket manifests: content-addressed, shared across
+        # snapshots — a manifest lives while any pinned snapshot
+        # references it (kept versions, staged names; tags are in
+        # ``keep``).  Expired versions' unshared manifests are swept.
+        live_manifests: set[str] = set()
+        for s in pinned_snaps:
+            live_manifests.update((s.bucket_manifests or {}).values())
+        mdir = os.path.join(self._meta_dir(), _MANIFESTS)
+        manifests_removed = 0
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                rel = os.path.join(_META, _MANIFESTS, fn)
+                if fn.startswith("m-") and rel not in live_manifests:
+                    os.unlink(os.path.join(mdir, fn))
+                    manifests_removed += 1
         files_removed = 0
         data_root = os.path.join(self.root, _DATA)
         for delta in sorted(os.listdir(data_root)):
@@ -1920,4 +2032,8 @@ class LakeTable:
                 os.rmdir(ddir)
         for v in drop:
             os.unlink(self._snap_path(v))
-        return {"snapshots_removed": len(drop), "files_removed": files_removed}
+        return {
+            "snapshots_removed": len(drop),
+            "files_removed": files_removed,
+            "manifests_removed": manifests_removed,
+        }
