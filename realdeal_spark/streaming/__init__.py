@@ -6,6 +6,7 @@ from realdeal_spark.streaming.cdf_source import (
     stream_maintain_ivf,
     stream_maintain_rollup,
 )
+from realdeal_spark.streaming.enrich import enrich_batch, stream_enrich
 from realdeal_spark.streaming.stream_apply import StreamingCdcApplier
 from realdeal_spark.streaming.suppress import suppress_unchanged
 from realdeal_spark.streaming.windows import session_rollup, tumbling_rollup
@@ -13,10 +14,12 @@ from realdeal_spark.streaming.windows import session_rollup, tumbling_rollup
 __all__ = [
     "LakeChangesDataSource",
     "StreamingCdcApplier",
+    "enrich_batch",
     "foreach_changes",
     "register_lake_changes",
     "session_rollup",
     "stream_changes",
+    "stream_enrich",
     "stream_maintain_ivf",
     "stream_maintain_rollup",
     "suppress_unchanged",
