@@ -215,6 +215,12 @@ class Snapshot:
     # Files written before the flag have no "bloom" entry and stay
     # always-candidates — correctness never depends on coverage.
     key_blooms: bool = False
+    # bucket_columns: the subset of key_columns the bucket hash uses
+    # (None = all of them, the default).  A secondary index table
+    # buckets by its indexed VALUE column so value lookups prune to
+    # one bucket while MERGE still routes by the full key (the value
+    # is part of the key, so every event computes its bucket).
+    bucket_columns: list[str] | None = None
     # manifest-relative path of each bucket's externalized file list
     # (set by the loader when this snapshot was read from spilled
     # form; see LakeTable._snap_to_json).  Not part of equality — the
@@ -241,6 +247,7 @@ class Snapshot:
             "applied_epochs": self.applied_epochs,
             "soft_delete": self.soft_delete,
             "key_blooms": self.key_blooms,
+            "bucket_columns": self.bucket_columns,
         }
 
     def to_json(self) -> str:
@@ -268,6 +275,7 @@ class Snapshot:
             applied_epochs=d.get("applied_epochs", []),
             soft_delete=d.get("soft_delete", False),
             key_blooms=d.get("key_blooms", False),
+            bucket_columns=d.get("bucket_columns"),
         )
 
     @staticmethod
@@ -419,8 +427,16 @@ class LakeTable:
         n_buckets: int = 64,
         soft_delete: bool = False,
         key_blooms: bool = False,
+        bucket_columns: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``bucket_columns`` (default: all key columns) restricts the
+        bucket hash to a key-column subset: reads filtered on just
+        those columns prune to one bucket.  Secondary-index tables
+        bucket by their indexed value column (lake/valueindex.py);
+        every change event still computes its bucket because the
+        subset is, by requirement, part of the key.
 
         ``order_columns`` define per-key recency (the CDC engine uses
         ``[warc_ts, lsn]``): a matched MERGE row only wins if its
@@ -432,6 +448,13 @@ class LakeTable:
         """
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
+        if bucket_columns is not None:
+            extra = [c for c in bucket_columns if c not in key_columns]
+            if extra or not bucket_columns:
+                raise ValueError(
+                    "bucket_columns must be a non-empty subset of "
+                    f"key_columns; offending: {extra or bucket_columns}"
+                )
         t = LakeTable(spark, root)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
         fields = [
@@ -450,6 +473,7 @@ class LakeTable:
             summary={"operation": "create"},
             soft_delete=soft_delete,
             key_blooms=key_blooms,
+            bucket_columns=list(bucket_columns) if bucket_columns else None,
         )
         t._commit(snap)
         return t
@@ -475,7 +499,8 @@ class LakeTable:
 
     def bucket_expr(self, snap: Snapshot | None = None) -> F.Column:
         snap = snap or self.snapshot()
-        return F.pmod(F.xxhash64(*snap.key_columns), F.lit(snap.n_buckets)).cast("int")
+        cols = snap.bucket_columns or snap.key_columns
+        return F.pmod(F.xxhash64(*cols), F.lit(snap.n_buckets)).cast("int")
 
     def read(
         self,
@@ -682,6 +707,7 @@ class LakeTable:
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
             key_blooms=enabled,
+            bucket_columns=snap.bucket_columns,
         )
         self._commit(out)
         return out
@@ -720,10 +746,11 @@ class LakeTable:
         from realdeal_spark.lake import bloomidx
 
         key_cols = snap.key_columns
+        bcols = snap.bucket_columns or key_cols
         kdf = keys_df.select(*key_cols).na.drop().distinct()
         kdf = kdf.withColumn(
             "_b",
-            F.pmod(F.xxhash64(*key_cols), F.lit(snap.n_buckets)).cast("int"),
+            F.pmod(F.xxhash64(*bcols), F.lit(snap.n_buckets)).cast("int"),
         ).localCheckpoint(eager=True)
         buckets = sorted(r["_b"] for r in kdf.select("_b").distinct().collect())
         covered: list[tuple[str, int, str]] = []
@@ -1101,11 +1128,12 @@ class LakeTable:
         schema map, so pre-images survive renames/widens inside the
         interval."""
         keys, orders = to_snap.key_columns, to_snap.order_columns
+        bcols = from_snap.bucket_columns or keys
         bkts = {
             r["b"]
             for r in changed_keys.select(
                 F.pmod(
-                    F.xxhash64(*keys), F.lit(from_snap.n_buckets)
+                    F.xxhash64(*bcols), F.lit(from_snap.n_buckets)
                 ).cast("int").alias("b")
             ).distinct().collect()
         }
@@ -1358,6 +1386,7 @@ class LakeTable:
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
             key_blooms=snap.key_blooms,
+            bucket_columns=snap.bucket_columns,
         )
         if stage:
             self._commit_staged(out, stage)
@@ -1608,6 +1637,7 @@ class LakeTable:
                 applied_epochs=applied,
                 soft_delete=base.soft_delete,
                 key_blooms=base.key_blooms,
+                bucket_columns=base.bucket_columns,
             )
             try:
                 self._commit(out)
@@ -1659,6 +1689,7 @@ class LakeTable:
                 applied_epochs=applied,
                 soft_delete=base.soft_delete,
                 key_blooms=base.key_blooms,
+                bucket_columns=base.bucket_columns,
             )
             try:
                 self._commit(out)
@@ -1690,6 +1721,7 @@ class LakeTable:
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
             key_blooms=snap.key_blooms,
+            bucket_columns=snap.bucket_columns,
         )
         self._commit(out)
         return out
@@ -1818,7 +1850,10 @@ class LakeTable:
             raise ValueError(f"n_buckets must be >= 1, got {new_n}")
         snap = self.snapshot()
         df = self.read(include_deleted=True)
-        bucket = F.pmod(F.xxhash64(*snap.key_columns), F.lit(new_n)).cast("int")
+        bucket = F.pmod(
+            F.xxhash64(*(snap.bucket_columns or snap.key_columns)),
+            F.lit(new_n),
+        ).cast("int")
         out = df.withColumn(_BUCKET_COL, bucket).repartition(
             min(new_n, 256), _BUCKET_COL
         )
@@ -1844,6 +1879,7 @@ class LakeTable:
             applied_epochs=list(snap.applied_epochs),
             soft_delete=snap.soft_delete,
             key_blooms=snap.key_blooms,
+            bucket_columns=snap.bucket_columns,
         )
         self._commit(committed)
         return committed
