@@ -42,7 +42,9 @@ from realdeal_spark.session import get_spark  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
-SCHEMA = "url string, v bigint, ts bigint, lsn bigint, html string"
+SCHEMA = (
+    "url string, v bigint, ts bigint, lsn bigint, lang string, html string"
+)
 
 
 def _batch(spark, lo, hi, ts_shift=0):
@@ -54,6 +56,7 @@ def _batch(spark, lo, hi, ts_shift=0):
         (F.col("id") * 10).alias("v"),
         (F.col("id") + ts_shift).alias("ts"),
         (F.col("id") + ts_shift).alias("lsn"),
+        F.format_string("lang%02d", (F.col("id") % 23).cast("int")).alias("lang"),
         F.repeat(F.sha2(F.col("id").cast("string"), 256), 16).alias("html"),
         F.lit("upsert").alias("op"),
     )
@@ -77,6 +80,7 @@ def main() -> None:
     )
     root = "/tmp/bench_lookup_tbl"
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree("/tmp/bench_lookup_idx", ignore_errors=True)
     t = LakeTable.create(
         spark, root, SCHEMA, ["url"], ["ts", "lsn"],
         n_buckets=args.buckets, soft_delete=True, key_blooms=True,
@@ -141,6 +145,28 @@ def main() -> None:
 
     _, allow, stats, _ = t._lookup_candidates(snap, t._keys_frame(snap, present))
 
+    # ---- secondary value index: "current rows with lang = X" served
+    # through the value-bucketed index (probed buckets → key set →
+    # bloom-pruned base lookup) vs the indexless full reconcile +
+    # filter.  Rare-value serving shape: one lang ≈ 1/23 of the keys.
+    from realdeal_spark.lake.valueindex import (  # noqa: E402
+        advance_value_index, create_value_index, lookup_by_value,
+    )
+
+    idx = create_value_index(
+        t, "/tmp/bench_lookup_idx", "lang", n_buckets=args.buckets
+    )
+    vix_t0 = time.monotonic()
+    advance_value_index(t, idx, "lang")
+    vix_build = round(time.monotonic() - vix_t0, 3)
+    vl_med, vl_n = timed(
+        lambda: lookup_by_value(t, idx, "lang", ["lang07"]).count()
+    )
+    vs_med, vs_n = timed(
+        lambda: t.read().where(F.col("lang") == "lang07").count()
+    )
+    assert vl_n == vs_n, (vl_n, vs_n)
+
     out = {
         "metric": "bloom point-lookup vs scan-filter + manifest-spill commit IO",
         "keys": args.keys,
@@ -163,6 +189,11 @@ def main() -> None:
         "single_key_files_in_table": sum(
             len(fl) for fl in snap.files.values()
         ),
+        "value_index_build_sec": vix_build,
+        "value_lookup_rows": vl_n,
+        "value_lookup_median_sec": vl_med,
+        "value_scan_filter_median_sec": vs_med,
+        "value_lookup_speedup": round(vs_med / vl_med, 2) if vl_med else None,
         "narrow_commit_bytes_spilled": spilled_commit_bytes,
         "narrow_commit_bytes_inline_equiv": inline_bytes,
         "metadata_io_ratio": round(inline_bytes / spilled_commit_bytes, 2),
@@ -185,10 +216,17 @@ def main() -> None:
             "rows compare the LAST epoch's metadata write under manifest "
             "spill (snapshot JSON + newly created manifest files) against "
             "the byte size the inline inventory would have been — the "
-            "O(touched buckets) vs O(table files) lever.\n"
+            "O(touched buckets) vs O(table files) lever.  The value_* rows "
+            "serve `lang = 'lang07'` (≈1/23 of current rows) through the "
+            "secondary value index (lake/valueindex.py: probed value "
+            "buckets → key set → bloom-pruned base lookup) vs the "
+            "indexless full-reconcile filter; value_index_build_sec is the "
+            "one-shot bootstrap from the changes feed (steady-state "
+            "maintenance is O(changes) per commit).\n"
         )
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree("/tmp/bench_lookup_idx", ignore_errors=True)
 
 
 if __name__ == "__main__":
