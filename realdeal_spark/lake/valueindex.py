@@ -194,6 +194,7 @@ def lookup_by_value(
     value_column: str,
     values: Any,
     version: int | None = None,
+    scan_fallback_fraction: float | None = 0.01,
 ) -> DataFrame:
     """Current base rows whose ``value_column`` is in ``values`` —
     served through the index, reading only the probed values' index
@@ -204,7 +205,18 @@ def lookup_by_value(
     re-filtered on the value column, so a stale index yields misses,
     never wrong rows.  Plan shape at 10^10 rows: k probed values →
     ≤k index buckets → ~k keys → ``src.lookup`` (bucket + Bloom
-    pruned) — every stage metadata-planned, nothing O(table)."""
+    pruned) — every stage metadata-planned, nothing O(table).
+
+    **Index-vs-scan crossover:** a secondary index only wins when the
+    probed values are rare.  Once the matched key set approaches the
+    table size, the key fan-out touches every bucket anyway and the
+    index adds pure overhead (measured 0.44x at 3.8% selectivity,
+    BENCH_LOOKUP.md).  So after the (cheap, probed-buckets-only) index
+    read, if the key count exceeds ``scan_fallback_fraction`` of the
+    base's manifest-recorded physical rows, serve through the plain
+    ``read() + filter`` plan instead — the same cost-based access-path
+    choice an RDBMS planner makes.  Pass ``None`` to force the index
+    path (the bench does, to measure it)."""
     wm = value_index_watermark(idx)
     if wm is None and version is None:
         raise ValueError("index has never been advanced; no watermark")
@@ -228,6 +240,17 @@ def lookup_by_value(
         .select(*keys)
         .distinct()
     )
+    if scan_fallback_fraction is not None:
+        base_rows = src.physical_rows(version=ver)
+        if base_rows:
+            # Materialize once: the count below and (on the index
+            # path) the lookup probe both reuse it instead of
+            # re-reading the index buckets.
+            entries = entries.localCheckpoint()
+            if entries.count() > scan_fallback_fraction * base_rows:
+                return src.read(version=ver).join(
+                    F.broadcast(vdf), on=value_column, how="leftsemi"
+                )
     rows = src.lookup(entries, version=ver)
     return rows.join(F.broadcast(vdf), on=value_column, how="leftsemi")
 

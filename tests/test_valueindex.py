@@ -66,9 +66,14 @@ def _seed(spark, tmp_path, **kw):
 
 
 def _served(src, idx, langs):
+    # Force the index path: at test scale every value exceeds the
+    # scan-fallback fraction and the auto planner would (correctly)
+    # serve via scan, which would stop exercising the index itself.
     return sorted(
         (r["url"], r["lang"], r["v"])
-        for r in lookup_by_value(src, idx, "lang", langs).collect()
+        for r in lookup_by_value(
+            src, idx, "lang", langs, scan_fallback_fraction=None
+        ).collect()
     )
 
 
@@ -176,6 +181,41 @@ def test_bucket_pruning_plans_subset(spark, tmp_path):
     assert got == scan
     # and lookup_by_value end-to-end agrees
     assert _served(src, idx, ["de"]) == _scanned(src, ["de"])
+
+
+def test_scan_fallback_crossover(spark, tmp_path):
+    """Cost-based access-path choice: a common value (over the
+    fraction threshold) serves via the scan plan, a forced-index or
+    rare-value lookup via the key fan-out — all answer-identical."""
+    src = _seed(spark, tmp_path)
+    idx = create_value_index(src, str(tmp_path / "idx"), "lang")
+    advance_value_index(src, idx, "lang")
+    scan = _scanned(src, ["de"])
+    # 'de' is ~1/3 of rows: every fraction below that falls back to
+    # scan, fraction=None forces the index, a generous fraction keeps
+    # the index path — all three must agree with the plain scan.
+    for frac in (0.01, 0.99, None):
+        got = sorted(
+            (r["url"], r["lang"], r["v"])
+            for r in lookup_by_value(
+                src, idx, "lang", ["de"], scan_fallback_fraction=frac
+            ).collect()
+        )
+        assert got == scan, frac
+    # the fallback plan must not probe the index's key path: it reads
+    # the base directly, so a stale (never-advanced-further) index
+    # still answers through scan at the pinned version
+    merge_apply(src, _ev(spark, [(99, "insert", "u99", "de", 99.0)]))
+    wm = value_index_watermark(idx)
+    served = lookup_by_value(
+        src, idx, "lang", ["de"], scan_fallback_fraction=0.0
+    )
+    assert ("u99",) not in {
+        (r["url"],) for r in served.collect()
+    }, "scan fallback must pin to the index watermark version"
+    assert sorted(
+        (r["url"], r["lang"], r["v"]) for r in served.collect()
+    ) == _scanned(src, ["de"], version=wm)
 
 
 def test_requires_soft_delete_and_non_key_column(spark, tmp_path):
