@@ -43,6 +43,7 @@ from realdeal_spark.cdc.conflate import conflate
 from realdeal_spark.extract.html_text import html_to_text_udf
 from realdeal_spark.extract import textstats as TS
 from realdeal_spark.functions import scalars as SC
+from realdeal_spark.lake.dml import delete_where, update_where
 from realdeal_spark.lake.table import LakeTable
 from realdeal_spark.operators import dedup as DD
 from realdeal_spark.operators import relational as REL
@@ -376,8 +377,51 @@ def q_lake_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     advance_value_index(table, idx, "event_type")  # bootstrap from feed
     applier.run(log, epoch_size=mx // 2 + 1)       # rest of the log
     advance_value_index(table, idx, "event_type")  # incremental catch-up
-    hits = lookup_by_value(table, idx, "event_type", ["click", "purchase"])
+    # force the index path: these are COMMON values, and the planner's
+    # cost-based crossover would (correctly) serve them via scan,
+    # which is not the surface this query exists to prove
+    hits = lookup_by_value(table, idx, "event_type", ["click", "purchase"],
+                           scan_fallback_fraction=None)
     return hits.select(*_EVENT_COLS, F.col("last_op").alias("op"))
+
+
+def q_lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML (lake/dml.py): replay the full change log into a
+    lake table, then run two operator-style statements against it —
+    ``DELETE WHERE event_type = 'view'`` and ``UPDATE value := value +
+    1000 WHERE value < 25`` — each a self-sourced MERGE batch that
+    inherits bucket pruning, changes-feed capture, and exactly-once
+    epoch ids from the CDC path.  Default order stamping places a
+    statement ONE TICK after the row it touched (last order column +
+    1), so the oracle emits ``event_id + 1`` for updated rows — the
+    replay-protection semantics, visible in the contract."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_dml_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.run(log, epoch_size=mx + 1)
+    delete_where(table, "event_type = 'view'", epoch_id="dml-purge")
+    update_where(
+        table,
+        "value < 25",
+        {"value": F.col("value") + F.lit(1000.0)},
+        epoch_id="dml-adjust",
+    )
+    return table.read().select(*_EVENT_COLS)
 
 
 def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2197,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_admission": q_cdc_epoch_admission,
         "lake_range_scan": q_lake_range_scan,
         "lake_value_lookup": q_lake_value_lookup,
+        "lake_predicate_dml": q_lake_predicate_dml,
         # relational operator coverage
         "rel_topk_per_key": q_rel_topk_per_key,
         "filter_project_inlist": q_filter_project_inlist,
@@ -2236,7 +2281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_rollup": q_web_domain_rollup,
         "knn_ivf_maintained": q_knn_ivf_maintained,
         "curate_sample_stratified": q_curate_sample_stratified,
-        "curate_token_budget": q_curate_token_budget,
         "pipeline_curate_v2": q_pipeline_curate_v2,
         # similarity search
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -2257,6 +2301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # picks it up first; its oracle is _FINAL_STATE_SQL restricted
         # to the looked-up keys.
         "cdc_point_lookup": q_cdc_point_lookup,
+        # curate_token_budget demoted round 4 for lake_predicate_dml:
+        # its two-phase machinery stays prefix-covered through
+        # curate_sample_stratified (same skew-guarded rank path).
+        "curate_token_budget": q_curate_token_budget,
         # knn_ivf demoted round 4 for lake_value_lookup: the IVF path
         # stays prefix-covered through knn_ivf_maintained (same ivf_knn
         # probe over a CDC-maintained index).
@@ -2292,6 +2340,19 @@ def oracle_sql() -> dict[str, str]:
             f"select * from ({_FINAL_STATE_SQL}) t "
             "where event_type in ('click', 'purchase')"
         ),
+        # predicate DML over the replayed state: delete filters rows
+        # out, update rewrites value AND bumps the final order column
+        # by one tick (the statement's replay protection, part of the
+        # contract)
+        "lake_predicate_dml": f"""
+with final as ({_FINAL_STATE_SQL})
+select user_id,
+       case when value < 25 then event_id + 1 else event_id end as event_id,
+       ts, event_type,
+       case when value < 25 then value + 1000 else value end as value
+from final
+where event_type <> 'view'
+""",
         "cdc_replicate": _FINAL_STATE_SQL,
         "cdc_incremental_rollup": f"""
 with final as ({_FINAL_STATE_SQL})

@@ -24,6 +24,7 @@ addressing is replaced by key-equality MERGE over bucketed files.
 
 from realdeal_spark.lake.table import LakeTable
 from realdeal_spark.lake.merge import merge_apply
+from realdeal_spark.lake.dml import delete_where, update_where
 from realdeal_spark.lake.inspect import (
     files_df,
     maintenance_plan,
@@ -33,9 +34,11 @@ from realdeal_spark.lake.inspect import (
 
 __all__ = [
     "LakeTable",
+    "delete_where",
     "files_df",
     "maintenance_plan",
     "merge_apply",
     "partitions_df",
     "snapshots_df",
+    "update_where",
 ]
