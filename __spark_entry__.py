@@ -424,6 +424,41 @@ def q_lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_EVENT_COLS)
 
 
+def q_lake_check_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (LakeTable.add_check) + dead-letter routing:
+    replay the change log through an applier whose table enforces
+    ``value < 400``; violating upserts route to the quarantine sink
+    (reason ``check:value_cap``) instead of applying, tombstones are
+    exempt, NULL passes (ANSI CHECK).  Enforcement costs no extra
+    scan — the violation counters ride the batch's materialization as
+    an Observation.  Oracle = the replay-equivalence window over the
+    log WITH the violating events filtered out — a quarantined event
+    must be invisible, exposing the key's previous event as winner."""
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_check_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    table.add_check("value_cap", "value < 400")
+    applier = CdcApplier(
+        table, lsn_col="event_id", quarantine_dir=f"{root}/dead"
+    )
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.run(log, epoch_size=mx // 2 + 1)
+    return table.read().select(*_EVENT_COLS)
+
+
 def q_cdc_find_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 anti-join find-new: the log tail vs composite keys seen in
     the first 10% (reference: find_new_properties.py:20-52; the
@@ -2301,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # picks it up first; its oracle is _FINAL_STATE_SQL restricted
         # to the looked-up keys.
         "cdc_point_lookup": q_cdc_point_lookup,
+        "lake_check_quarantine": q_lake_check_quarantine,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2340,6 +2376,21 @@ def oracle_sql() -> dict[str, str]:
             f"select * from ({_FINAL_STATE_SQL}) t "
             "where event_type in ('click', 'purchase')"
         ),
+        # CHECK-constrained replay: violating upserts (value >= 400)
+        # are dead-lettered, so the window ranks only surviving events
+        # — a quarantined event exposes the key's previous event
+        "lake_check_quarantine": f"""
+with clean as (
+  select user_id, event_id, ts, event_type, value, {_OP_SQL} as op
+  from events
+  where {_OP_SQL} = 'delete' or coalesce(value < 400, true)
+), ranked as (
+  select *, row_number() over (partition by user_id
+                               order by ts desc, event_id desc) as rn
+  from clean)
+select user_id, event_id, ts, event_type, value
+from ranked where rn = 1 and op <> 'delete'
+""",
         # predicate DML over the replayed state: delete filters rows
         # out, update rewrites value AND bumps the final order column
         # by one tick (the statement's replay protection, part of the

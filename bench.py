@@ -83,6 +83,11 @@ HEADLINE = HEADLINE_R1 + [
     "knn_ivf_maintained",
     "cdc_replicate",
     "cdc_point_lookup",
+    # late round-4 additions: the value-bucketed secondary index
+    # (bootstrap + incremental advance + indexed serve) and predicate
+    # DML through the MERGE path
+    "lake_value_lookup",
+    "lake_predicate_dml",
 ]
 
 

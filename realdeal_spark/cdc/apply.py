@@ -208,7 +208,8 @@ class CdcApplier:
             )
 
             batch, bad = split_quarantine(
-                batch, snap.key_columns, snap.order_columns
+                batch, snap.key_columns, snap.order_columns,
+                checks=snap.checks,
             )
             n_quarantined = write_quarantine(bad, self.quarantine_dir, epoch_id)
         # events_in rides the merge job as an Observation instead of a

@@ -39,10 +39,13 @@ def invalidity_expr(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     known_ops: Sequence[str] = KNOWN_OPS,
+    checks: dict[str, str] | None = None,
 ) -> Column:
     """String reason the row is invalid, or NULL for a valid row.
     Precedence: unknown/null op, then null key columns in order, then
-    null order columns in order."""
+    null order columns in order, then CHECK constraints in name
+    order (reason ``check:<name>``; tombstones exempt, NULL passes —
+    the same semantics the MERGE's fail-fast path enforces)."""
     expr = F.when(
         F.col(OP_COL).isNull() | ~F.col(OP_COL).isin(*known_ops),
         F.lit("unknown_op"),
@@ -51,6 +54,13 @@ def invalidity_expr(
         expr = expr.when(F.col(c).isNull(), F.lit(f"null_key:{c}"))
     for c in order_cols:
         expr = expr.when(F.col(c).isNull(), F.lit(f"null_order:{c}"))
+    if checks:
+        from realdeal_spark.lake.merge import check_violation_expr
+
+        for name in sorted(checks):
+            expr = expr.when(
+                check_violation_expr(checks[name]), F.lit(f"check:{name}")
+            )
     return expr  # no otherwise → NULL = valid
 
 
@@ -59,11 +69,12 @@ def split_quarantine(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     known_ops: Sequence[str] = KNOWN_OPS,
+    checks: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, invalid): ``valid`` has the input schema; ``invalid``
     carries the extra ``_reason`` column.  Two filters over the same
     source — both inherit the scan's pushdown, neither shuffles."""
-    reason = invalidity_expr(key_cols, order_cols, known_ops)
+    reason = invalidity_expr(key_cols, order_cols, known_ops, checks)
     tagged = df.withColumn(REASON_COL, reason)
     good = tagged.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
     bad = tagged.where(F.col(REASON_COL).isNotNull())

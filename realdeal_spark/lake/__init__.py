@@ -22,7 +22,7 @@ reference mutates via generated SQL (realdeal/fusion_tables_client.py:
 addressing is replaced by key-equality MERGE over bucketed files.
 """
 
-from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.table import CheckViolation, LakeTable
 from realdeal_spark.lake.merge import merge_apply
 from realdeal_spark.lake.dml import delete_where, update_where
 from realdeal_spark.lake.inspect import (
@@ -33,6 +33,7 @@ from realdeal_spark.lake.inspect import (
 )
 
 __all__ = [
+    "CheckViolation",
     "LakeTable",
     "delete_where",
     "files_df",

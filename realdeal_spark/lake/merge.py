@@ -45,6 +45,7 @@ from realdeal_spark.lake.table import (
     _BUCKET_COL,
     _DATA,
     _DELETED_COL,
+    CheckViolation,
     LakeTable,
     Snapshot,
 )
@@ -100,6 +101,48 @@ def _prep_source(table: LakeTable, snap: Snapshot, source: DataFrame):
         F.col(OP_COL),
     ).withColumn(_BUCKET_COL, table.bucket_expr(snap))
     return cur_fields, data_cols, key_cols, order_cols, src
+
+
+def check_violation_expr(expr_sql: str) -> F.Column:
+    """TRUE iff a change row violates the CHECK expression: SQL
+    semantics (violates iff FALSE; NULL passes), tombstones exempt."""
+    return (F.col(OP_COL) != OP_DELETE) & ~F.coalesce(
+        F.expr(expr_sql).cast("boolean"), F.lit(True)
+    )
+
+
+def _observe_checks(src: DataFrame, checks: dict[str, str]):
+    """Attach per-constraint violation counters to the batch plan.
+
+    The counters ride whatever job materializes the batch (the
+    touched-bucket probe / persist) as an Observation — CHECK
+    enforcement costs a few map-side CASE aggregates inside a scan
+    that runs anyway, never an extra pass.  An applier that already
+    dead-letter-routed violations upstream simply observes zeros."""
+    if not checks:
+        return src, None
+    obs = Observation()
+    return src.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(check_violation_expr(sql), 1).otherwise(0).cast("long")
+            ).alias(name)
+            for name, sql in checks.items()
+        ],
+    ), obs
+
+
+def _raise_check_violations(obs, checks: dict[str, str]) -> None:
+    if obs is None:
+        return
+    try:
+        vals = obs.get
+    except Exception:
+        return  # empty input: observed node emitted nothing
+    counts = {k: int(vals[k] or 0) for k in checks if int(vals[k] or 0)}
+    if counts:
+        raise CheckViolation(counts, checks)
 
 
 @dataclass
@@ -194,11 +237,17 @@ def merge_apply(
     # probe, the join, and (via the resolved cache) nothing else — one
     # materialization instead of re-running conflation (and whatever
     # upstream extraction feeds it) per phase.
+    src, check_obs = _observe_checks(src, snap.checks)
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
     if not touched:
         src.unpersist()
         return MergeResult(snapshot=None)
+    try:
+        _raise_check_violations(check_obs, snap.checks)
+    except CheckViolation:
+        src.unpersist()
+        raise
 
     tgt = table.read(buckets=touched, with_bucket=True, include_deleted=True)
 
@@ -420,11 +469,17 @@ def _merge_apply_mor(
     snap = table.snapshot()
     _, data_cols, key_cols, order_cols, src = _prep_source(table, snap, source)
 
+    src, check_obs = _observe_checks(src, snap.checks)
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
     if not touched:
         src.unpersist()
         return MergeResult(snapshot=None)
+    try:
+        _raise_check_violations(check_obs, snap.checks)
+    except CheckViolation:
+        src.unpersist()
+        raise
 
     try:
         # On a key_blooms table, probe the touched buckets' per-file

@@ -221,6 +221,14 @@ class Snapshot:
     # one bucket while MERGE still routes by the full key (the value
     # is part of the key, so every event computes its bucket).
     bucket_columns: list[str] | None = None
+    # checks: named CHECK constraints (name -> SQL boolean expr over
+    # the current schema).  Enforced on every write path — merge (both
+    # modes) and append — with SQL semantics: a row violates iff the
+    # expression is FALSE (NULL passes, as in Delta/ANSI CHECK);
+    # tombstones (op='delete') are exempt.  Violations raise
+    # CheckViolation before any file is written, or route to the
+    # dead-letter quarantine when the applier has one.
+    checks: dict[str, str] = field(default_factory=dict)
     # manifest-relative path of each bucket's externalized file list
     # (set by the loader when this snapshot was read from spilled
     # form; see LakeTable._snap_to_json).  Not part of equality — the
@@ -228,6 +236,27 @@ class Snapshot:
     bucket_manifests: dict[str, str] | None = field(
         default=None, compare=False, repr=False
     )
+
+    def child_kwargs(self, **overrides: Any) -> dict[str, Any]:
+        """Carried-forward table metadata for a child snapshot.  Every
+        commit site builds its Snapshot through this, so a NEW
+        persistent table property is added HERE once — a hand-copied
+        field list at each site would silently drop the property on
+        whichever operation forgot it (compaction, evolution, ...)."""
+        kw: dict[str, Any] = dict(
+            schema_versions=self.schema_versions,
+            current_schema=self.current_schema,
+            n_buckets=self.n_buckets,
+            key_columns=self.key_columns,
+            order_columns=self.order_columns,
+            applied_epochs=list(self.applied_epochs),
+            soft_delete=self.soft_delete,
+            key_blooms=self.key_blooms,
+            bucket_columns=self.bucket_columns,
+            checks=dict(self.checks),
+        )
+        kw.update(overrides)
+        return kw
 
     def _meta_dict(self) -> dict[str, Any]:
         """Everything but the file inventory (shared by the inline and
@@ -248,6 +277,7 @@ class Snapshot:
             "soft_delete": self.soft_delete,
             "key_blooms": self.key_blooms,
             "bucket_columns": self.bucket_columns,
+            "checks": self.checks,
         }
 
     def to_json(self) -> str:
@@ -276,6 +306,7 @@ class Snapshot:
             soft_delete=d.get("soft_delete", False),
             key_blooms=d.get("key_blooms", False),
             bucket_columns=d.get("bucket_columns"),
+            checks=d.get("checks", {}),
         )
 
     @staticmethod
@@ -300,6 +331,26 @@ class CommitConflict(Exception):
     retried automatically by ``commit_file_additions`` /
     ``commit_bucket_replacement`` — one ingest applier plus a
     background ``compact()`` maintenance job must not abort epochs."""
+
+
+class CheckViolation(ValueError):
+    """A write carried rows violating the table's CHECK constraints.
+
+    Raised BEFORE any file lands (the violation counts ride the
+    write/classification job as an Observation — no extra scan), so
+    the table state is untouched and the epoch can be retried after a
+    fix.  Appliers with a ``quarantine_dir`` route violating rows to
+    the dead-letter sink instead of raising (cdc/quarantine.py).
+
+    ``counts`` maps constraint name -> number of violating rows."""
+
+    def __init__(self, counts: dict[str, int], checks: dict[str, str]):
+        self.counts = counts
+        detail = "; ".join(
+            f"{name}: {n} row(s) violate `{checks[name]}`"
+            for name, n in sorted(counts.items())
+        )
+        super().__init__(f"CHECK constraint violation — {detail}")
 
 
 class LakeTable:
@@ -697,17 +748,89 @@ class LakeTable:
         out = Snapshot(
             version=snap.version + 1,
             parent=snap.version,
-            schema_versions=snap.schema_versions,
-            current_schema=snap.current_schema,
-            n_buckets=snap.n_buckets,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
             files=snap.files,
             summary={"operation": "set-key-blooms", "enabled": enabled},
-            applied_epochs=list(snap.applied_epochs),
-            soft_delete=snap.soft_delete,
-            key_blooms=enabled,
-            bucket_columns=snap.bucket_columns,
+            **snap.child_kwargs(key_blooms=enabled),
+        )
+        self._commit(out)
+        return out
+
+    # ------------------------------------------------ CHECK constraints
+
+    def _resolve_check(self, snap: Snapshot, name: str, expr_sql: str):
+        """Fail fast if the expression doesn't resolve as a boolean
+        over the current schema — a driver-side analysis on an empty
+        frame, no job runs."""
+        cur = self._schema_version(snap, snap.current_schema)
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in cur.fields)
+        probe = self.spark.createDataFrame([], ddl)
+        try:
+            col = F.expr(expr_sql).cast("boolean")
+            probe.select(col.alias(name)).schema  # forces analysis
+        except Exception as e:
+            raise ValueError(
+                f"check {name!r} does not resolve against the current "
+                f"schema: {e}"
+            ) from e
+
+    def _check_exprs_still_resolve(self, snap: Snapshot) -> None:
+        """Schema evolution guard: refuse a rename/drop that orphans a
+        CHECK expression (drop the check first, then evolve)."""
+        for name, expr_sql in snap.checks.items():
+            try:
+                self._resolve_check(snap, name, expr_sql)
+            except ValueError as e:
+                raise ValueError(
+                    f"schema change orphans CHECK constraint {name!r} "
+                    f"(`{expr_sql}`); drop_check({name!r}) first — {e}"
+                ) from e
+
+    def add_check(self, name: str, expr_sql: str) -> Snapshot:
+        """Commit a metadata-only snapshot adding a named CHECK
+        constraint (SQL boolean expression over the current schema).
+
+        Enforced from the next write on — merge (both modes), append,
+        and predicate DML all validate through a zero-extra-scan
+        Observation and raise :class:`CheckViolation` before any file
+        is written; appliers with a dead-letter ``quarantine_dir``
+        route violating rows there instead (reason ``check:<name>``).
+        SQL semantics: a row violates iff the expression is FALSE —
+        NULL passes (ANSI/Delta CHECK).  EXISTING rows are not
+        re-validated (same as ``ALTER TABLE ADD CONSTRAINT NOT
+        VALID``); run a read-side audit if needed."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]{0,63}", name):
+            raise ValueError(
+                f"check name {name!r} must be an identifier (it doubles "
+                "as the violation counter's column name)"
+            )
+        snap = self.snapshot()
+        if name in snap.checks:
+            raise ValueError(f"check {name!r} already exists")
+        self._resolve_check(snap, name, expr_sql)
+        out = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            files=snap.files,
+            summary={"operation": "add-check", "check": name},
+            **snap.child_kwargs(
+                checks={**snap.checks, name: expr_sql}
+            ),
+        )
+        self._commit(out)
+        return out
+
+    def drop_check(self, name: str) -> Snapshot:
+        """Metadata-only commit removing a CHECK constraint."""
+        snap = self.snapshot()
+        if name not in snap.checks:
+            raise KeyError(f"no check {name!r} at {self.root}")
+        checks = {k: v for k, v in snap.checks.items() if k != name}
+        out = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            files=snap.files,
+            summary={"operation": "drop-check", "check": name},
+            **snap.child_kwargs(checks=checks),
         )
         self._commit(out)
         return out
@@ -1334,40 +1457,63 @@ class LakeTable:
             *extra,
         ).repartition(min(snap.n_buckets, 256), _BUCKET_COL)
         obs = None
+        aggs = []
         if snap.order_columns:
             null_order = F.lit(False)
             for c in snap.order_columns:
                 null_order = null_order | F.col(c).isNull()
-            obs = Observation()
-            with_bucket = with_bucket.observe(
-                obs,
-                F.sum(F.when(null_order, 1).otherwise(0).cast("long")).alias("n"),
+            aggs.append(
+                F.sum(F.when(null_order, 1).otherwise(0).cast("long")).alias("n")
             )
+        for cname, csql in snap.checks.items():
+            # append rows carry no op column: every row is subject;
+            # SQL CHECK semantics (violates iff FALSE, NULL passes)
+            violated = ~F.coalesce(F.expr(csql).cast("boolean"), F.lit(True))
+            aggs.append(
+                F.sum(F.when(violated, 1).otherwise(0).cast("long")).alias(cname)
+            )
+        if aggs:
+            obs = Observation()
+            with_bucket = with_bucket.observe(obs, *aggs)
         new_files = self._write_delta(with_bucket, new_version, snap.current_schema)
         if obs is not None:
             try:
-                n_null = int(obs.get["n"] or 0)
+                vals = obs.get
             except Exception:
-                n_null = 0  # empty input: observed node emitted nothing
-            if n_null:
-                import shutil
+                vals = {}  # empty input: observed node emitted nothing
+            n_null = int(vals.get("n") or 0) if snap.order_columns else 0
+            check_counts = {
+                cname: int(vals.get(cname) or 0)
+                for cname in snap.checks
+                if int(vals.get(cname) or 0)
+            }
+            if n_null or check_counts:
 
-                for fl in new_files.values():
-                    if fl:
-                        shutil.rmtree(
-                            os.path.join(
-                                self.root,
-                                os.path.dirname(os.path.dirname(fl[0]["path"])),
-                            ),
-                            ignore_errors=True,
-                        )
-                        break
-                raise ValueError(
-                    f"append: {n_null} row(s) have null order column(s) "
-                    f"{snap.order_columns} — such rows are invisible to "
-                    "MoR reconcile / light conflation; clean or default "
-                    "them before appending"
-                )
+                def _discard_written() -> None:
+                    import shutil
+
+                    for fl in new_files.values():
+                        if fl:
+                            shutil.rmtree(
+                                os.path.join(
+                                    self.root,
+                                    os.path.dirname(
+                                        os.path.dirname(fl[0]["path"])
+                                    ),
+                                ),
+                                ignore_errors=True,
+                            )
+                            return
+
+                _discard_written()
+                if n_null:
+                    raise ValueError(
+                        f"append: {n_null} row(s) have null order column(s) "
+                        f"{snap.order_columns} — such rows are invisible to "
+                        "MoR reconcile / light conflation; clean or default "
+                        "them before appending"
+                    )
+                raise CheckViolation(check_counts, snap.checks)
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b, fl in new_files.items():
             files.setdefault(b, []).extend(fl)
@@ -1376,17 +1522,9 @@ class LakeTable:
         out = Snapshot(
             version=new_version,
             parent=snap.version,
-            schema_versions=snap.schema_versions,
-            current_schema=snap.current_schema,
-            n_buckets=snap.n_buckets,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
             files=files,
             summary={"operation": op, **extra_summary, **(summary or {})},
-            applied_epochs=list(snap.applied_epochs),
-            soft_delete=snap.soft_delete,
-            key_blooms=snap.key_blooms,
-            bucket_columns=snap.bucket_columns,
+            **snap.child_kwargs(),
         )
         if stage:
             self._commit_staged(out, stage)
@@ -1627,17 +1765,9 @@ class LakeTable:
             out = Snapshot(
                 version=version,
                 parent=base.version,
-                schema_versions=base.schema_versions,
-                current_schema=base.current_schema,
-                n_buckets=base.n_buckets,
-                key_columns=base.key_columns,
-                order_columns=base.order_columns,
                 files=files,
                 summary={"operation": "merge", **(summary or {})},
-                applied_epochs=applied,
-                soft_delete=base.soft_delete,
-                key_blooms=base.key_blooms,
-                bucket_columns=base.bucket_columns,
+                **base.child_kwargs(applied_epochs=applied),
             )
             try:
                 self._commit(out)
@@ -1679,17 +1809,9 @@ class LakeTable:
             out = Snapshot(
                 version=version,
                 parent=base.version,
-                schema_versions=base.schema_versions,
-                current_schema=base.current_schema,
-                n_buckets=base.n_buckets,
-                key_columns=base.key_columns,
-                order_columns=base.order_columns,
                 files=files,
                 summary={"operation": "merge-mor", **(summary or {})},
-                applied_epochs=applied,
-                soft_delete=base.soft_delete,
-                key_blooms=base.key_blooms,
-                bucket_columns=base.bucket_columns,
+                **base.child_kwargs(applied_epochs=applied),
             )
             try:
                 self._commit(out)
@@ -1711,18 +1833,14 @@ class LakeTable:
         out = Snapshot(
             version=snap.version + 1,
             parent=snap.version,
-            schema_versions=snap.schema_versions + [new_sv],
-            current_schema=new_sv.version,
-            n_buckets=snap.n_buckets,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
             files=snap.files,
             summary={"operation": op},
-            applied_epochs=list(snap.applied_epochs),
-            soft_delete=snap.soft_delete,
-            key_blooms=snap.key_blooms,
-            bucket_columns=snap.bucket_columns,
+            **snap.child_kwargs(
+                schema_versions=snap.schema_versions + [new_sv],
+                current_schema=new_sv.version,
+            ),
         )
+        self._check_exprs_still_resolve(out)
         self._commit(out)
         return out
 
@@ -1869,17 +1987,9 @@ class LakeTable:
         committed = Snapshot(
             version=new_version,
             parent=snap.version,
-            schema_versions=snap.schema_versions,
-            current_schema=snap.current_schema,
-            n_buckets=new_n,
-            key_columns=snap.key_columns,
-            order_columns=snap.order_columns,
             files=new_files,
             summary={"operation": f"rebucket {snap.n_buckets} -> {new_n}"},
-            applied_epochs=list(snap.applied_epochs),
-            soft_delete=snap.soft_delete,
-            key_blooms=snap.key_blooms,
-            bucket_columns=snap.bucket_columns,
+            **snap.child_kwargs(n_buckets=new_n),
         )
         self._commit(committed)
         return committed

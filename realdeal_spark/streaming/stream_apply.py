@@ -100,7 +100,8 @@ class StreamingCdcApplier:
             )
 
             batch_df, bad = split_quarantine(
-                batch_df, snap.key_columns, snap.order_columns
+                batch_df, snap.key_columns, snap.order_columns,
+                checks=snap.checks,
             )
             n_quarantined = write_quarantine(bad, self.quarantine_dir, epoch_id)
         # strategy + winner-broadcast admission shared with CdcApplier

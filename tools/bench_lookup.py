@@ -187,6 +187,16 @@ def main() -> None:
         lambda: t.read().where(F.col("lang") == "langRARE").count()
     )
     assert rl_n == rs_n and rl_n > 0, (rl_n, rs_n)
+    # the quantity that scales: how many base files the rare value's
+    # key set actually opens vs the table total (wall time at 2 GB is
+    # overhead-bound; bytes-not-read is what 100 TB feels)
+    rare_keys = (
+        t.read()
+        .where(F.col("lang") == "langRARE")
+        .select("url")
+        .distinct()
+    )
+    _, _, rstats, _ = t._lookup_candidates(snap, t._keys_frame(snap, rare_keys))
 
     out = {
         "metric": "bloom point-lookup vs scan-filter + manifest-spill commit IO",
@@ -220,6 +230,8 @@ def main() -> None:
         "rare_value_lookup_median_sec": rl_med,
         "rare_value_scan_filter_median_sec": rs_med,
         "rare_value_speedup": round(rs_med / rl_med, 2) if rl_med else None,
+        "rare_value_files_read": rstats["files_read"],
+        "rare_value_files_in_buckets": rstats["files_in_buckets"],
         "narrow_commit_bytes_spilled": spilled_commit_bytes,
         "narrow_commit_bytes_inline_equiv": inline_bytes,
         "metadata_io_ratio": round(inline_bytes / spilled_commit_bytes, 2),
@@ -256,7 +268,13 @@ def main() -> None:
             "scan_fallback_fraction of the base's manifest row count.  "
             "rare_value_* serves `langRARE` (~1/9973 of rows) — the "
             "secondary index's actual regime — through the auto planner, "
-            "which keeps the key-fan-out path.\n"
+            "which keeps the key-fan-out path.  At this table size (~2 GB "
+            "hot in page cache, 16 cores) the full scan-and-filter is "
+            "nearly free, so rare-value wall times are dominated by the "
+            "fixed per-bucket planning/probe overhead of the index path — "
+            "the quantity that scales is rare_value_files_read vs "
+            "rare_value_files_in_buckets (bloom-pruned bytes NOT read), "
+            "which is what a 100 TB table feels.\n"
         )
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
