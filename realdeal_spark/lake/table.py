@@ -798,10 +798,11 @@ class LakeTable:
         NULL passes (ANSI/Delta CHECK).  EXISTING rows are not
         re-validated (same as ``ALTER TABLE ADD CONSTRAINT NOT
         VALID``); run a read-side audit if needed."""
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]{0,63}", name):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]{0,63}", name) or name == "n":
             raise ValueError(
                 f"check name {name!r} must be an identifier (it doubles "
-                "as the violation counter's column name)"
+                "as the violation counter's column name; 'n' is reserved "
+                "for the null-order counter)"
             )
         snap = self.snapshot()
         if name in snap.checks:
