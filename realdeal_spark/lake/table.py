@@ -765,12 +765,18 @@ class LakeTable:
         ddl = ", ".join(f"{f['name']} {f['type']}" for f in cur.fields)
         probe = self.spark.createDataFrame([], ddl)
         try:
-            col = F.expr(expr_sql).cast("boolean")
-            probe.select(col.alias(name)).schema  # forces analysis
+            # analyze the exact violation-counter shape enforcement
+            # will build: catches unresolved columns AND aggregate
+            # expressions (sum(v) > 0 would nest aggregates inside the
+            # Observation counter and only blow up at merge time)
+            violated = ~F.coalesce(F.expr(expr_sql).cast("boolean"), F.lit(True))
+            probe.select(
+                F.sum(F.when(violated, 1).otherwise(0).cast("long")).alias(name)
+            ).schema  # forces analysis
         except Exception as e:
             raise ValueError(
                 f"check {name!r} does not resolve against the current "
-                f"schema: {e}"
+                f"schema as a row-level boolean: {e}"
             ) from e
 
     def _check_exprs_still_resolve(self, snap: Snapshot) -> None:

@@ -136,6 +136,10 @@ def test_add_drop_validation_and_evolution_guard(spark, tmp_path):
     t = _mk(spark, tmp_path, name="val")
     with pytest.raises(ValueError, match="does not resolve"):
         t.add_check("broken", "no_such_col > 0")
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.add_check("agg", "sum(v) > 0")  # aggregate: not row-level
+    with pytest.raises(ValueError, match="identifier"):
+        t.add_check("n", "v >= 0")  # reserved (append's null counter)
     with pytest.raises(ValueError, match="identifier"):
         t.add_check("bad name!", "v >= 0")
     t.add_check("v_nonneg", "v >= 0")
