@@ -36,9 +36,9 @@ rewrites (CoW) or appends deltas for (MoR) just those buckets.
 
 Reference analogue: the reference deletes and patches rows through
 per-row Fusion Tables DML after a client-side filter
-(fusion_tables_client.py:118-139, zillow_client.py:119-129); here the
-filter, the write, and the exactly-once guard are one distributed
-plan.
+(fusion_tables_client.py:155-173 — UPDATE/DELETE by rowid;
+zillow_client.py's per-field patch loop); here the filter, the write,
+and the exactly-once guard are one distributed plan.
 """
 
 from __future__ import annotations
