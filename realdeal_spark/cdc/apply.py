@@ -261,7 +261,14 @@ class CdcApplier:
             conflated,
             column_merge=self.column_merge,
             epoch_id=epoch_id,
-            extra_summary={"lsn_start": lsn_start, "lsn_end": lsn_end},
+            extra_summary={
+                "lsn_start": lsn_start,
+                "lsn_end": lsn_end,
+                # in-band audit completeness: the dead-letter count is
+                # known pre-merge, so lineage_df can report it without
+                # a side store
+                "quarantined": n_quarantined,
+            },
             mode=self.merge_mode,
             capture_changes=self.capture_changes,
         )

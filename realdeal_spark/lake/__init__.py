@@ -27,6 +27,7 @@ from realdeal_spark.lake.merge import merge_apply
 from realdeal_spark.lake.dml import delete_where, update_where
 from realdeal_spark.lake.inspect import (
     files_df,
+    lineage_df,
     maintenance_plan,
     partitions_df,
     snapshots_df,
@@ -37,6 +38,7 @@ __all__ = [
     "LakeTable",
     "delete_where",
     "files_df",
+    "lineage_df",
     "maintenance_plan",
     "merge_apply",
     "partitions_df",

@@ -120,6 +120,59 @@ def snapshots_df(table) -> DataFrame:
     return table.spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
 
 
+_LINEAGE_SCHEMA = (
+    "snapshot_version int, epoch_id string, lsn_start bigint, "
+    "lsn_end bigint, inserted bigint, updated bigint, deleted bigint, "
+    "unchanged bigint, stale bigint, quarantined bigint, "
+    "operation string"
+)
+
+
+def lineage_df(table) -> DataFrame:
+    """Offset-range → snapshot-id lineage as a queryable DataFrame —
+    one row per ingest commit still on disk, recovered entirely from
+    snapshot summaries (the appliers write ``lsn_start``/``lsn_end``,
+    the dead-letter count, and the MERGE's per-epoch statistics
+    in-band at commit time, so lineage needs no side store and
+    survives process restarts).
+
+    This is the audit surface for the north-rule's "per-partition
+    lineage + metrics emitted each epoch": join it against the log to
+    prove every offset range landed exactly once, window it for
+    throughput-over-time, or reconcile inserted+updated+deleted+
+    unchanged+stale+quarantined against the source's per-range counts.
+    Expired snapshots drop out (same visibility rule as
+    ``history()``); the applier's in-memory ``lineage()`` /
+    ``reports`` are the superset for the current run (wall times,
+    events/sec)."""
+    rows = []
+    for snap in table.history():
+        s = snap.summary
+        if "lsn_start" not in s:
+            continue
+        epoch = f"lsn:{s['lsn_start']}-{s['lsn_end']}"
+        rows.append(
+            (
+                snap.version,
+                epoch if epoch in snap.applied_epochs else None,
+                int(s["lsn_start"]),
+                int(s["lsn_end"]),
+                _opt_int(s.get("inserted")),
+                _opt_int(s.get("updated")),
+                _opt_int(s.get("deleted")),
+                _opt_int(s.get("unchanged")),
+                _opt_int(s.get("stale")),
+                _opt_int(s.get("quarantined")),
+                str(s.get("operation", "")),
+            )
+        )
+    return table.spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+
+
+def _opt_int(v: Any) -> int | None:
+    return None if v is None else int(v)
+
+
 def partitions_df(
     table, version: int | None = None, small_file_bytes: int = 32 * 1024 * 1024
 ) -> DataFrame:

@@ -141,6 +141,7 @@ class StreamingCdcApplier:
             column_merge=self.column_merge,
             epoch_id=epoch_id,
             mode=self.merge_mode,
+            extra_summary={"quarantined": n_quarantined},
         )
         if obs is not None:
             try:

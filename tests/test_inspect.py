@@ -260,3 +260,37 @@ def test_auto_maintain_executes_plan(spark, tmp_path):
     assert auto_maintain(t, keep_snapshots=3) == [
         {"action": "needs_decision", "stage": "aud"}
     ]
+
+
+def test_lineage_df_recovers_offset_ranges(spark, tmp_path):
+    """One lineage row per ingest commit, recovered purely from
+    snapshot summaries: lsn ranges, epoch id, MERGE stats, and the
+    dead-letter count all in-band; non-ingest commits excluded."""
+    from realdeal_spark.cdc.apply import CdcApplier
+    from realdeal_spark.lake.inspect import lineage_df
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lin"), SCHEMA,
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=4, soft_delete=True,
+    )
+    log = _ev(spark, (
+        [(i, "insert", f"k{i}", float(i)) for i in range(0, 10)]
+        + [(13, "bogus-op", "k1", 1.0)]   # dead-letters in epoch 2
+        + [(15, "delete", "k2", None)]
+    ))
+    a = CdcApplier(t, lsn_col="lsn", quarantine_dir=str(tmp_path / "dlq"))
+    a.run(log, epoch_size=10)
+    t.compact()  # non-ingest commit: must NOT appear in lineage
+    rows = {r["epoch_id"]: r for r in lineage_df(t).collect()}
+    assert set(rows) == {"lsn:0-9", "lsn:10-19"}
+    e1, e2 = rows["lsn:0-9"], rows["lsn:10-19"]
+    assert (e1["lsn_start"], e1["lsn_end"]) == (0, 9)
+    assert e1["inserted"] == 10 and e1["quarantined"] == 0
+    assert e2["deleted"] == 1 and e2["quarantined"] == 1
+    # snapshot_version strictly increasing and distinct per epoch
+    assert e1["snapshot_version"] < e2["snapshot_version"]
+    # restart-replay adds no lineage rows (exactly-once)
+    CdcApplier(t, lsn_col="lsn",
+               quarantine_dir=str(tmp_path / "dlq")).run(log, epoch_size=10)
+    assert lineage_df(t).count() == 2
