@@ -117,8 +117,20 @@ def _stamp_order(
             f"order_stamp keys {sorted(unknown)} are not order "
             f"columns {order_cols}"
         )
+    dtypes = dict(df.dtypes)
     for c, v in order_stamp.items():
-        df = df.withColumn(c, _as_column(v) if isinstance(v, (Column, str)) else F.lit(v))
+        # bare strings are LITERALS, not SQL expressions — a stamp like
+        # {"ts": "2030-01-01"} must not parse as integer arithmetic
+        # (2030-1-1 = 2028) and silently corrupt the replay-protection
+        # order stamp.  Callers who want an expression pass a Column
+        # (F.expr(...)/F.col(...)).
+        if isinstance(v, Column):
+            col = v
+        elif isinstance(v, str):
+            col = F.lit(v).cast(dtypes[c])
+        else:
+            col = F.lit(v)
+        df = df.withColumn(c, col)
     return df
 
 

@@ -136,13 +136,50 @@ def _observe_checks(src: DataFrame, checks: dict[str, str]):
 def _raise_check_violations(obs, checks: dict[str, str]) -> None:
     if obs is None:
         return
+    # Both call sites invoke this only after a non-empty touched-bucket
+    # collect has run the observed plan, so a failing ``obs.get`` means
+    # the metrics genuinely went missing — swallowing it would silently
+    # disable CHECK enforcement.  Surface it instead of returning.
     try:
         vals = obs.get
-    except Exception:
-        return  # empty input: observed node emitted nothing
+    except Exception as e:  # pragma: no cover - defensive
+        raise RuntimeError(
+            "CHECK-constraint metrics unavailable after a non-empty "
+            "batch ran the observed plan — refusing to commit with "
+            "enforcement silently disabled"
+        ) from e
     counts = {k: int(vals[k] or 0) for k in checks if int(vals[k] or 0)}
     if counts:
         raise CheckViolation(counts, checks)
+
+
+def _empty_batch_result(
+    table, snap, epoch_id: str | None, extra_summary: dict | None
+) -> MergeResult:
+    """Zero surviving rows in the batch.  Usually a pure no-op (a poll
+    loop with no new events must not grow the snapshot log) — EXCEPT
+    when the epoch *had* rows and every one was dead-lettered
+    (``extra_summary["quarantined"] > 0``, stamped by the applier
+    pre-merge): then commit a metadata-only marker snapshot so the
+    epoch still enters ``applied_epochs`` (exactly-once — a retry must
+    skip, not re-quarantine) and its lsn range + quarantined count
+    appear in the lineage table (``lake.inspect.lineage_df``'s
+    every-offset-range-landed-exactly-once audit would otherwise have
+    a hole)."""
+    if epoch_id is None or not (extra_summary or {}).get("quarantined"):
+        return MergeResult(snapshot=None)
+    summary = {
+        "inserted": 0,
+        "updated": 0,
+        "deleted": 0,
+        "unchanged": 0,
+        "stale": 0,
+        **(extra_summary or {}),
+    }
+    snapshot = table.commit_file_additions(
+        snap, snap.version + 1, {}, summary=summary, epoch_id=epoch_id
+    )
+    return MergeResult(snapshot=snapshot)
 
 
 @dataclass
@@ -242,7 +279,7 @@ def merge_apply(
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
     if not touched:
         src.unpersist()
-        return MergeResult(snapshot=None)
+        return _empty_batch_result(table, snap, epoch_id, extra_summary)
     try:
         _raise_check_violations(check_obs, snap.checks)
     except CheckViolation:
@@ -474,7 +511,7 @@ def _merge_apply_mor(
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
     if not touched:
         src.unpersist()
-        return MergeResult(snapshot=None)
+        return _empty_batch_result(table, snap, epoch_id, extra_summary)
     try:
         _raise_check_violations(check_obs, snap.checks)
     except CheckViolation:

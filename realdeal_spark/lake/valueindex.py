@@ -35,6 +35,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from realdeal_spark.lake.merge import (
     OP_COL,
@@ -241,12 +242,25 @@ def lookup_by_value(
         .distinct()
     )
     if scan_fallback_fraction is not None:
+        # physical_rows counts tombstones and superseded MoR/append
+        # generations, so it is an UPPER bound on live rows — the
+        # denominator is inflated on update-heavy tables and the
+        # planner keeps the index path past the configured selectivity
+        # fraction.  Deliberately conservative: the index path is
+        # always CORRECT (just slower near the crossover), while an
+        # exact live count would need a scan that costs what the
+        # fallback decision is trying to save.  compact() restores the
+        # bound to exact (it drops superseded generations and purges
+        # tombstones).
         base_rows = src.physical_rows(version=ver)
         if base_rows:
             # Materialize once: the count below and (on the index
             # path) the lookup probe both reuse it instead of
-            # re-reading the index buckets.
-            entries = entries.localCheckpoint()
+            # re-reading the index buckets.  persist (not
+            # localCheckpoint): the lineage stays attached, so losing
+            # an executor mid-query recomputes the partition instead
+            # of failing the lookup.
+            entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
             if entries.count() > scan_fallback_fraction * base_rows:
                 return src.read(version=ver).join(
                     F.broadcast(vdf), on=value_column, how="leftsemi"
