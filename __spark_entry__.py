@@ -1213,6 +1213,121 @@ from cells
 """
 
 
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule's "per-partition lineage + metrics emitted each
+    epoch" as a driver-checked contract: replay the change log in 3
+    lsn-grid epochs through a real lake table, then read the queryable
+    lineage table (lake/inspect.py lineage_df) — one row per ingest
+    commit carrying its admitted lsn window and the MERGE's per-epoch
+    statistics, recovered entirely from in-band snapshot summaries (no
+    side store; survives restarts).  The oracle re-derives EVERY
+    column by grid-windowing the log in plain SQL: per-cell winners
+    (row_number over the order tuple), a running max-order previous
+    state, and the merge action classification (stale / unchanged /
+    delete / tombstone / insert / update) replayed as a case
+    expression — so the lineage counts are pinned to replay semantics,
+    not merely echoed back.  Reference: the per-batch upload
+    accounting in real_deal_batch_uploader.py:48-66."""
+    from realdeal_spark.lake.inspect import lineage_df
+
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_lin_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.run(log, epoch_size=mx // 3 + 1)
+    return lineage_df(table).select(
+        F.col("snapshot_version").cast("bigint").alias("version"),
+        "lsn_start",
+        "lsn_end",
+        "inserted",
+        "updated",
+        "deleted",
+        "unchanged",
+        "stale",
+    )
+
+
+# Replays the merge epoch-by-epoch in SQL.  Per (key, cell) the winner
+# is the max order tuple (the conflation step); the state a cell sees
+# is the max-order winner of all EARLIER cells (merge keeps whichever
+# of {stored, incoming} is newer, so the state is always the running
+# max — including tombstones, which stay in the table as hidden rows);
+# the action case mirrors lake/merge.py's classification: data columns
+# here are (event_type, value, last_op=op), order columns (ts,
+# event_id) are excluded from the change detection, and visibility
+# flips count as changes.  version = create commit (v1) + 1 per epoch
+# in lsn order.
+_LINEAGE_SQL = f"""
+with p as (select cast(max(event_id) as bigint) // 3 + 1 as esz from events),
+ev as (
+  select user_id, ts, event_id, event_type, value, {_OP_SQL} as op,
+         cast(event_id as bigint) // esz as cell, esz
+  from events, p),
+win as (
+  select * from (
+    select ev.*, row_number() over (partition by user_id, cell
+                                    order by ts desc, event_id desc) as rn
+    from ev) t
+  where rn = 1),
+ord as (
+  select *, row_number() over (partition by user_id
+                               order by ts, event_id) as o
+  from win),
+st as (
+  select *, max(o) over (partition by user_id order by cell
+                         rows between unbounded preceding
+                         and 1 preceding) as prev_o
+  from ord),
+cls as (
+  select s.cell, s.esz,
+         case
+           when s.prev_o is not null
+                and (s.ts, s.event_id) < (q.ts, q.event_id)
+             then 'stale'
+           when s.prev_o is not null
+                and ((s.op = 'delete') = (q.op = 'delete'))
+                and s.event_type is not distinct from q.event_type
+                and s.value is not distinct from q.value
+                and s.op is not distinct from q.op
+             then 'unchanged'
+           when s.op = 'delete' and s.prev_o is not null
+                and q.op <> 'delete'
+             then 'delete'
+           when s.op = 'delete' then 'tombstone'
+           when s.prev_o is null or q.op = 'delete' then 'insert'
+           else 'update'
+         end as action
+  from st s
+  left join ord q on q.user_id = s.user_id and q.o = s.prev_o),
+agg as (
+  select cell, min(esz) as esz,
+         cast(sum(case when action = 'insert' then 1 else 0 end) as bigint) as inserted,
+         cast(sum(case when action = 'update' then 1 else 0 end) as bigint) as updated,
+         cast(sum(case when action = 'delete' then 1 else 0 end) as bigint) as deleted,
+         cast(sum(case when action = 'unchanged' then 1 else 0 end) as bigint) as unchanged,
+         cast(sum(case when action = 'stale' then 1 else 0 end) as bigint) as stale
+  from cls group by cell)
+select cast(row_number() over (order by cell) + 1 as bigint) as version,
+       cell * esz as lsn_start, cell * esz + esz - 1 as lsn_end,
+       inserted, updated, deleted, unchanged, stale
+from agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data pipeline mandate)
 # ---------------------------------------------------------------------------
@@ -2274,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_suppress_unchanged": q_cdc_suppress_unchanged,
         "cdc_quarantine_route": q_cdc_quarantine_route,
         "cdc_epoch_admission": q_cdc_epoch_admission,
+        "cdc_lineage": q_cdc_lineage,
         "lake_range_scan": q_lake_range_scan,
         "lake_value_lookup": q_lake_value_lookup,
         "lake_predicate_dml": q_lake_predicate_dml,
@@ -2312,7 +2428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         # web / curation
-        "web_url_normalize": q_web_url_normalize,
         "web_domain_rollup": q_web_domain_rollup,
         "knn_ivf_maintained": q_knn_ivf_maintained,
         "curate_sample_stratified": q_curate_sample_stratified,
@@ -2336,6 +2451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # picks it up first; its oracle is _FINAL_STATE_SQL restricted
         # to the looked-up keys.
         "cdc_point_lookup": q_cdc_point_lookup,
+        # web_url_normalize demoted round 5 for cdc_lineage (the
+        # north-rule lineage surface): the normalization chain stays
+        # prefix-covered through web_domain_rollup + web_domain_cap's
+        # pipeline (normalize → domain hash enters the value compare).
+        "web_url_normalize": q_web_url_normalize,
         "lake_check_quarantine": q_lake_check_quarantine,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
@@ -2617,6 +2737,7 @@ from events
         "polygon_csv_scan": _POLY_CSV_SQL,
         "report_render_html": _REPORT_RENDER_SQL,
         "cdc_epoch_admission": _EPOCH_ADMISSION_SQL,
+        "cdc_lineage": _LINEAGE_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_lang_detect": _lang_detect_sql(),
         "dedup_exact": f"""
