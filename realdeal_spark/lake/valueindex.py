@@ -176,17 +176,62 @@ def advance_value_index(
     value_column: str,
     to_version: int | None = None,
     mode: str = "cow",
+    bootstrap: str = "snapshot",
 ) -> MergeResult | None:
     """Catch the index up from its watermark to ``to_version``
-    (default: the base's current version) in one interval.  First
-    advance (watermark None) starts at the base's earliest retained
-    snapshot — the changes feed over (earliest, v] IS the bootstrap
-    scan, so no separate rebuild path."""
+    (default: the base's current version) in one interval.
+
+    First advance (watermark None) **bootstraps from the base
+    snapshot**: an empty index needs no pre-images and no per-version
+    diffing — every live row at ``to_version`` is simply an upsert of
+    ``(value, key)`` riding its own order tuple, so the bootstrap is
+    ONE pruned scan of the base instead of a changes-feed replay of
+    the whole history (the 2 M-key table's 13-version feed replay
+    cost 428 s, BENCH_LOOKUP.md round 4; the snapshot path replaces
+    it).  It is also *complete* under snapshot expiry: the feed over
+    (earliest-retained, v] misses rows that predate the earliest
+    retained snapshot and never changed; the snapshot read cannot.
+    Pass ``bootstrap="feed"`` to keep the replay path (tests exercise
+    both for equivalence).  Steady state is unchanged: O(changes)
+    intervals via the feed."""
     fv = value_index_watermark(idx)
+    tv = int(to_version) if to_version is not None else src.current_version()
+    if fv is None and bootstrap == "snapshot":
+        return _bootstrap_from_snapshot(src, idx, value_column, tv, mode=mode)
     if fv is None:
         fv = src.versions()[0]
-    tv = int(to_version) if to_version is not None else src.current_version()
     return advance_interval(src, idx, value_column, fv, tv, mode=mode)
+
+
+def _bootstrap_from_snapshot(
+    src: LakeTable,
+    idx: LakeTable,
+    value_column: str,
+    to_version: int,
+    mode: str = "cow",
+) -> MergeResult | None:
+    """Build the empty index from the base's live rows at
+    ``to_version`` — semantically the feed bootstrap minus the no-op
+    deletes (deletes against an empty index only mint tombstones,
+    which compaction would purge anyway).  The epoch id spans
+    (earliest-retained, to_version] exactly like the feed path, so
+    the watermark and every later incremental advance are identical
+    for an index bootstrapped either way."""
+    fv = src.versions()[0]
+    if int(to_version) <= int(fv):
+        return None
+    epoch_id = f"{_EPOCH_PREFIX}{int(fv)}-{int(to_version)}"
+    if epoch_id in idx.snapshot().applied_epochs:
+        return None
+    keys, orders, _ = _base_columns(src)
+    rows = (
+        src.read(version=int(to_version))
+        .where(F.col(value_column).isNotNull())
+        .select(
+            value_column, *keys, *orders, F.lit(OP_UPDATE).alias(OP_COL)
+        )
+    )
+    return merge_apply(idx, rows, epoch_id=epoch_id, mode=mode)
 
 
 def lookup_by_value(
@@ -221,7 +266,7 @@ def lookup_by_value(
     wm = value_index_watermark(idx)
     if wm is None and version is None:
         raise ValueError("index has never been advanced; no watermark")
-    ver = int(version) if version is not None else wm
+    ver = int(version) if version is not None else _serve_version(src, wm)
     isnap = idx.snapshot()
     vdf = _values_frame(idx, value_column, values)
     buckets = sorted(
@@ -267,6 +312,38 @@ def lookup_by_value(
                 )
     rows = src.lookup(entries, version=ver)
     return rows.join(F.broadcast(vdf), on=value_column, how="leftsemi")
+
+
+# base commits that change file layout or table metadata but not one
+# logical row — the index stays exact across them, so serving may (and
+# for performance should) use the newest such version's layout
+_MAINTENANCE_OPS = (
+    "compact",
+    "rebucket",
+    "set-key-blooms",
+    "add-check",
+    "drop-check",
+)
+
+
+def _serve_version(src: LakeTable, watermark: int) -> int:
+    """Highest base version whose logical state equals the watermark's:
+    slide forward across maintenance-only commits (compaction,
+    rebucketing, metadata toggles) so that compacting the base doesn't
+    pin index-served lookups to the old uncompacted file layout.
+    Stops at the first data-changing commit — those the index hasn't
+    applied yet.  Metadata-only walk (one snapshot JSON per version
+    past the watermark, usually zero)."""
+    ver = int(watermark)
+    for v in src.versions():
+        if v <= ver:
+            continue
+        op = str(src.snapshot(v).summary.get("operation", ""))
+        if any(op.startswith(m) for m in _MAINTENANCE_OPS):
+            ver = v
+        else:
+            break
+    return ver
 
 
 def _values_frame(

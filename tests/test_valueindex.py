@@ -103,6 +103,64 @@ def test_bootstrap_and_value_transitions(spark, tmp_path):
     assert "u11" in fr
 
 
+def test_snapshot_bootstrap_matches_feed_bootstrap(spark, tmp_path):
+    """The default (snapshot) bootstrap and the feed-replay bootstrap
+    must serve identical lookups, carry the same watermark, and accept
+    the same incremental advances afterwards — an index bootstrapped
+    either way is interchangeable."""
+    src = _seed(spark, tmp_path)
+    snap_ix = create_value_index(src, str(tmp_path / "snap_ix"), "lang")
+    feed_ix = create_value_index(src, str(tmp_path / "feed_ix"), "lang")
+    advance_value_index(src, snap_ix, "lang")  # default: snapshot
+    advance_value_index(src, feed_ix, "lang", bootstrap="feed")
+    assert value_index_watermark(snap_ix) == value_index_watermark(feed_ix)
+    for langs in (["de"], ["en"], ["fr"], ["de", "en", "fr"]):
+        assert _served(src, snap_ix, langs) == _scanned(src, langs)
+        assert _served(src, snap_ix, langs) == _served(src, feed_ix, langs)
+    # bootstrap replay is a metadata no-op (same epoch-id guard)
+    v_after = snap_ix.current_version()
+    assert advance_value_index(src, snap_ix, "lang") is None
+    assert snap_ix.current_version() == v_after
+    # a later incremental advance lands identically on both
+    merge_apply(src, _ev(spark, [
+        (70, "update", "u2", "fr", 20.0),   # en -> fr
+        (71, "delete", "u5", None, None),
+        (72, "insert", "u99", "de", 21.0),
+    ]))
+    advance_value_index(src, snap_ix, "lang")
+    advance_value_index(src, feed_ix, "lang")
+    for langs in (["de"], ["en"], ["fr"]):
+        assert _served(src, snap_ix, langs) == _scanned(src, langs)
+        assert _served(src, snap_ix, langs) == _served(src, feed_ix, langs)
+
+
+def test_serve_version_slides_across_maintenance(spark, tmp_path):
+    """Compacting the base must not pin index-served lookups to the
+    old uncompacted layout: the serve version slides forward across
+    maintenance-only commits, and stops at the first data commit the
+    index hasn't applied (stale index = misses, never wrong rows)."""
+    from realdeal_spark.lake.valueindex import _serve_version
+
+    src = _seed(spark, tmp_path)
+    idx = create_value_index(src, str(tmp_path / "idx"), "lang")
+    advance_value_index(src, idx, "lang")
+    wm = value_index_watermark(idx)
+    assert _serve_version(src, wm) == wm  # nothing after the watermark
+    src.compact()
+    assert _serve_version(src, wm) == src.current_version()
+    # served through the compacted layout, results unchanged
+    for langs in (["de"], ["en"], ["fr"]):
+        assert _served(src, idx, langs) == _scanned(src, langs)
+    # a data commit after the compaction stops the slide
+    merge_apply(src, _ev(spark, [(80, "insert", "u77", "de", 30.0)]))
+    assert _serve_version(src, wm) == src.current_version() - 1
+    de = {u for u, _, _ in _served(src, idx, ["de"])}
+    assert "u77" not in de  # miss, not a wrong row
+    advance_value_index(src, idx, "lang")
+    de = {u for u, _, _ in _served(src, idx, ["de"])}
+    assert "u77" in de
+
+
 def test_interval_chops_converge_and_replay_is_noop(spark, tmp_path):
     src = _seed(spark, tmp_path)
     one = create_value_index(src, str(tmp_path / "one"), "lang")

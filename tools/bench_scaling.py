@@ -30,12 +30,18 @@ def run_once(
     n_urls: int,
     pin: bool = False,
     scale_mem: bool = False,
+    epochs: int = 1,
 ) -> dict:
+    # epochs=1: sustained-throughput shape (one giant epoch).
+    # epochs>=8: the Amdahl test — the per-epoch serial cost (plan +
+    # commit + lineage emit, ~26 s at round-4 measurement) repeats
+    # once per epoch, so multi-epoch efficiency MEASURES amortization
+    # instead of extrapolating it from a single-epoch run.
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "run_cdc.py"),
         "--synthetic-events", str(events),
         "--n-urls", str(n_urls),
-        "--epoch-size", str(events),  # one epoch: sustained-throughput shape
+        "--epoch-size", str(max(1, events // epochs)),
         "--cpus", str(cpus),
     ]
     if pin:
@@ -64,12 +70,12 @@ def run_once(
 
 def run_best(
     cpus: int, events: int, extract: bool, n_urls: int, reps: int,
-    pin: bool = False, scale_mem: bool = False,
+    pin: bool = False, scale_mem: bool = False, epochs: int = 1,
 ) -> dict:
     """Best-of-N: this sandbox VM shows large run-to-run variance
     (disk/page-cache state); best-of mirrors standard bench practice."""
     runs = [
-        run_once(cpus, events, extract, n_urls, pin, scale_mem)
+        run_once(cpus, events, extract, n_urls, pin, scale_mem, epochs)
         for _ in range(reps)
     ]
     return max(runs, key=lambda r: r["events_per_sec"])
@@ -95,6 +101,10 @@ def main() -> None:
     ap.add_argument("--pin", action="store_true",
                     help="taskset-pin each run to exactly N cpus (see "
                          "run_once; controls GC/background-thread bleed)")
+    ap.add_argument("--epochs", type=int, default=1,
+                    help="split the run into this many equal epochs; "
+                         ">=8 turns the per-epoch serial-cost "
+                         "amortization claim into a measurement")
     ap.add_argument("--scale-mem", action="store_true",
                     help="8g heap per core at both levels (the N-vs-4N "
                          "*executors* analogue: more executors bring "
@@ -105,11 +115,11 @@ def main() -> None:
     for i in range(args.pairs):
         small = run_best(
             args.n, args.events, args.extract_text, args.n_urls, args.reps,
-            args.pin, args.scale_mem,
+            args.pin, args.scale_mem, args.epochs,
         )
         big = run_best(
             4 * args.n, args.events, args.extract_text, args.n_urls, args.reps,
-            args.pin, args.scale_mem,
+            args.pin, args.scale_mem, args.epochs,
         )
         eff = big["events_per_sec"] / (4.0 * small["events_per_sec"])
         pairs.append(
@@ -134,6 +144,7 @@ def main() -> None:
     )
     report = {
         "events": args.events,
+        "epochs": args.epochs,
         "extract_text": args.extract_text,
         "pinned": args.pin,
         "scaled_mem": args.scale_mem,
