@@ -45,11 +45,12 @@ from realdeal_spark.session import get_spark
 from realdeal_spark.lake import LakeTable, merge_apply
 from realdeal_spark.cdc.rollup import Measure, rollup_advance, rollup_full
 
-cpus, base_rows, epochs, epoch_rows = (
-    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+cpus, base_rows, epochs, epoch_rows, capture = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5] == "1")
 spark = get_spark("rollup-soak", master=f"local[{cpus}]",
                   shuffle_partitions=2 * cpus)
-root = f"/tmp/rollup_soak_{cpus}"
+root = f"/tmp/rollup_soak_{cpus}_{int(capture)}"
 shutil.rmtree(root, ignore_errors=True)
 t = LakeTable.create(spark, root + "/t",
     "k bigint, ts timestamp_ntz, lsn bigint, cat string, v double",
@@ -116,8 +117,20 @@ state, prev_v = None, t.current_version()
 state = rollup_full(t, ["cat"], MEASURES, version=prev_v).localCheckpoint(eager=True)
 for e in range(epochs):
     hit = (e % 3 == 2)
-    merge_apply(t, epoch_batch(e, hit), mode="mor")
+    if capture:
+        # the designed steady state for maintained rollups: CoW MERGE
+        # with write-time CDF capture, so the advance's feed is a pure
+        # O(changes) read of the capture files -- no added-file
+        # conflation, no anti-join, no pre-image bucket scan
+        merge_apply(t, epoch_batch(e, hit), mode="cow", capture_changes=True)
+    else:
+        merge_apply(t, epoch_batch(e, hit), mode="mor")
     v = t.current_version()
+    # floor decomposition: the feed materialization alone (the
+    # advance's dominant fixed cost under reconstruction)
+    t0 = time.time()
+    t.read_changes(prev_v, v, include_preimage=True).count()
+    feed = time.time() - t0
     t0 = time.time()
     state = rollup_advance(t, state, prev_v, v, ["cat"], MEASURES)
     state = state.localCheckpoint(eager=True)
@@ -132,6 +145,7 @@ for e in range(epochs):
     prev_v = v
     rows.append({"epoch": e, "extreme_hit": hit,
                  "table_rows": base_rows + (e + 1) * epoch_rows,
+                 "feed_sec": round(feed, 2),
                  "advance_sec": round(adv, 2), "recompute_sec": round(rec, 2)})
 print(json.dumps({"cpus": cpus, "load_sec": round(load_sec, 1), "rows": rows}))
 '''
@@ -143,23 +157,31 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--epoch-rows", type=int, default=100_000)
     ap.add_argument("--cpus", type=int, nargs="+", default=[8, 32])
+    ap.add_argument("--modes", nargs="+", default=["capture", "mor"],
+                    choices=["capture", "mor"],
+                    help="capture = CoW epochs + write-time CDF capture "
+                         "(the designed steady state for maintained "
+                         "rollups); mor = MoR epochs, feed reconstructed")
     args = ap.parse_args()
 
-    per_cpu = {}
-    for cpus in args.cpus:
-        out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus), str(args.base),
-             str(args.epochs), str(args.epoch_rows)],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        if out.returncode != 0:
-            raise RuntimeError(f"cpus={cpus} failed:\n{out.stderr[-3000:]}")
-        last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        per_cpu[cpus] = json.loads(last)["rows"]
+    per_run = {}
+    for mode in args.modes:
+        for cpus in args.cpus:
+            out = subprocess.run(
+                [sys.executable, "-c", WORKER, str(cpus), str(args.base),
+                 str(args.epochs), str(args.epoch_rows),
+                 "1" if mode == "capture" else "0"],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            if out.returncode != 0:
+                raise RuntimeError(
+                    f"mode={mode} cpus={cpus} failed:\n{out.stderr[-3000:]}")
+            last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            per_run[(mode, cpus)] = json.loads(last)["rows"]
 
     md = [
         "# BENCH_ROLLUP — changes-feed advance vs recompute as the table "
-        "grows (round 4)",
+        "grows (round 5)",
         "",
         f"MoR table bulk-loaded with {args.base:,} rows, then "
         f"{args.epochs} epochs x {args.epoch_rows:,} new keys plus "
@@ -170,18 +192,29 @@ def main() -> None:
         "two current max-ts rows (an extreme-hit spike exercising the "
         "dirty-group-pruned rescan).  Measures = count, DECIMAL sum, "
         "max(ts); advance == recompute asserted at the final epoch.  "
-        "Fresh JVM per parallelism level.",
+        "Fresh JVM per (mode, parallelism) run.  Two epoch-write modes: "
+        "**capture** = CoW MERGE with write-time CDF capture "
+        "(merge_apply(capture_changes=True) — the documented steady "
+        "state for maintained rollups: the advance's feed is a pure "
+        "O(changes) read of the capture files) and **mor** = MoR MERGE, "
+        "feed reconstructed per advance (added-file conflation + "
+        "(key,order) anti-join against the old snapshot + pre-image "
+        "bucket read; changes hash into EVERY bucket, so reconstruction "
+        "is O(table) on narrow columns — the measured floor).  feed (s) "
+        "is that materialization timed alone: the advance's fixed cost "
+        "decomposed.",
         "",
     ]
-    for cpus, rows in per_cpu.items():
-        md += [f"## local[{cpus}]", "",
-               "| epoch | table rows | extreme hit | advance (s) | "
-               "recompute (s) |",
-               "|---|---|---|---|---|"]
+    for (mode, cpus), rows in per_run.items():
+        md += [f"## {mode} epochs, local[{cpus}]", "",
+               "| epoch | table rows | extreme hit | feed (s) | "
+               "advance (s) | recompute (s) |",
+               "|---|---|---|---|---|---|"]
         for r in rows:
             md.append(
                 f"| {r['epoch']} | {r['table_rows']:,} "
                 f"| {'yes' if r['extreme_hit'] else ''} "
+                f"| {r['feed_sec']} "
                 f"| {r['advance_sec']} | {r['recompute_sec']} |"
             )
         mono = [r for r in rows if not r["extreme_hit"]]
@@ -199,7 +232,10 @@ def main() -> None:
         ]
     with open(os.path.join(REPO, "BENCH_ROLLUP.md"), "w") as f:
         f.write("\n".join(md) + "\n")
-    print(json.dumps({"bench": "rollup_soak", "per_cpu": per_cpu}))
+    print(json.dumps({
+        "bench": "rollup_soak",
+        "per_run": {f"{m}@{c}": r for (m, c), r in per_run.items()},
+    }))
 
 
 if __name__ == "__main__":
