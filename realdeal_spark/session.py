@@ -61,6 +61,18 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Long-running epoch loops (the CDC applier's whole life) leak
+        # shuffle files / broadcast blocks until the ContextCleaner
+        # runs, and the cleaner only fires on a DRIVER GC — which a
+        # large, mostly-idle driver heap may not do for hours.  The
+        # measured failure: an 8-epoch 160M-event run's per-epoch wall
+        # grew 34s -> 124s as dead shuffle state accumulated
+        # (BENCH_SCALING_latest.md round 5).  Periodic GC bounds the
+        # accumulation — standard practice for streaming/long drivers.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"),
+        )
     )
     # Shuffle/spill scratch location.  On this single-box sandbox every
     # executor thread shares ONE /tmp device, so disk-backed shuffle is
