@@ -117,6 +117,7 @@ class CdcApplier:
         salt_buckets: int | None = None,
         quarantine_dir: str | None = None,
         capture_changes: bool = False,
+        gc_every_epochs: int | None = 1,
     ):
         self.table = table
         self.lsn_col = lsn_col
@@ -138,6 +139,21 @@ class CdcApplier:
         self._epochs_since_compact = 0
         self.report_sink = report_sink
         self.reports: list[EpochReport] = []
+        # Epoch-boundary driver GC (every N applied epochs; None/0
+        # disables).  Spark's ContextCleaner reclaims dead shuffle
+        # files, broadcasts, and checkpoint blocks only when the
+        # driver JVM collects — a long epoch loop on a large heap can
+        # run for hours without one, and the accumulation compounds:
+        # measured per-epoch wall grew 34s -> 124s over 8 epochs of a
+        # 160M-event replay (round-5 scaling soak).  The boundary is
+        # the RIGHT moment: no stage is running and the live set is
+        # minimal, so the collection is cheap; a timer-based
+        # periodicGC instead fires mid-epoch against a heap full of
+        # live shuffle state and measurably regresses (765s -> 896s
+        # at local[4]).  Same lifecycle discipline a streaming query
+        # gets from micro-batch turnover.
+        self.gc_every_epochs = gc_every_epochs
+        self._epochs_since_gc = 0
 
     # ------------------------------------------------------------ state
 
@@ -352,7 +368,26 @@ class CdcApplier:
             out.append(
                 self.apply_epoch(log, int(c) * epoch_size, (int(c) + 1) * epoch_size - 1)
             )
+            self._maybe_driver_gc(out[-1])
         return out
+
+    def _maybe_driver_gc(self, report: EpochReport) -> None:
+        """Trigger a driver GC at the epoch boundary (see __init__
+        gc_every_epochs) so the ContextCleaner reclaims the finished
+        epoch's shuffle/broadcast state before the next one starts.
+        Skipped epochs (idempotent replays) don't count — they created
+        no state."""
+        if not self.gc_every_epochs or report.skipped:
+            return
+        self._epochs_since_gc += 1
+        if self._epochs_since_gc >= self.gc_every_epochs:
+            self._epochs_since_gc = 0
+            try:
+                jvm = self.table.spark.sparkContext._jvm
+                jvm.System.gc()
+            except Exception:
+                pass  # py4j unavailable (e.g. Spark Connect): backstop
+                # timer in session.py still bounds the accumulation
 
     def _record(self, r: EpochReport) -> EpochReport:
         self.reports.append(r)
