@@ -189,7 +189,11 @@ class CdcApplier:
         """
         epoch_id = self.epoch_id_for(lsn_start, lsn_end)
         t0 = time.monotonic()
+        from realdeal_spark.lake.merge import _phase_timer
+
+        mark = _phase_timer()
         snap = self.table.snapshot()
+        mark("epoch.snapshot")
         if epoch_id in snap.applied_epochs:
             return self._record(
                 EpochReport(
@@ -244,6 +248,7 @@ class CdcApplier:
             # iff the winner set surely fits; gate on keys, not
             # events).
             n_in, est_keys, bcast = admission_stats(batch, snap.key_columns)
+            mark("epoch.admission")
             conflate_kwargs["broadcast_winners"] = bcast
             if not bcast:
                 # over-cap winner set: Bloom-prefilter the payload side
@@ -382,9 +387,13 @@ class CdcApplier:
         self._epochs_since_gc += 1
         if self._epochs_since_gc >= self.gc_every_epochs:
             self._epochs_since_gc = 0
+            from realdeal_spark.lake.merge import _phase_timer
+
+            mark = _phase_timer()
             try:
                 jvm = self.table.spark.sparkContext._jvm
                 jvm.System.gc()
+                mark("epoch.gc")
             except Exception:
                 pass  # py4j unavailable (e.g. Spark Connect): backstop
                 # timer in session.py still bounds the accumulation

@@ -14,9 +14,12 @@ Event schema (FIXTURES.md A2)::
 
 Properties by construction:
 
-- ``lsn`` = the range id: dense, strictly increasing, unique — like a
-  real binlog offset (an earlier sparse-lsn design made epoch grids
-  mostly empty and was reworked after profiling);
+- ``lsn`` = an affine permutation of the range id: dense on [0, n),
+  unique — like a real binlog offset (an earlier sparse-lsn design
+  made epoch grids mostly empty and was reworked after profiling);
+  permuted rather than identity so a contiguous lsn window (an
+  applier epoch) spans all input partitions instead of one (see
+  ``generate_change_events``);
 - url per event is a hash pick over ``n_urls``, with an optional hot
   url absorbing ``hot_share_percent`` of all events (skew testing,
   SURVEY ST8);
@@ -48,6 +51,32 @@ def _h(seed: int, *cols) -> F.Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols))
 
 
+def _scatter_multiplier(n: int) -> int:
+    """Multiplier a with gcd(a, n) = 1 such that ``lsn = (a·r + b)
+    mod n`` permutes [0, n) AND the *preimages* of any contiguous lsn
+    window are low-discrepancy across r-space.  The preimage of
+    lsn = e is r = a⁻¹·(e − b) mod n, i.e. consecutive lsn values
+    step r by a⁻¹ — so the quantity that must avoid small-rational
+    ratios to n is the INVERSE, not a.  We therefore pick
+    a⁻¹ ≈ φ·n (golden-ratio stride, the Fibonacci-hashing argument:
+    φ is the irrational hardest to approximate by rationals, so the
+    stride never bands) and return its modular inverse.
+
+    int64 bound: a < n, so a·r < n² — exact for n ≤ 3·10^9 events
+    per generator call.  A 10^10-event log is generated as a union of
+    lsn-range shards of ≤ 3·10^9 each (each shard independently
+    scattered), which preserves both the schema and the epoch-spread
+    property."""
+    import math
+
+    if n <= 2:
+        return 1
+    inv = int(n * 0.6180339887498949) | 1  # odd
+    while math.gcd(inv, n) != 1:
+        inv += 2
+    return pow(inv, -1, n)
+
+
 def generate_change_events(
     spark: SparkSession,
     n_events: int = 5000,
@@ -65,8 +94,27 @@ def generate_change_events(
     (e.g. 50 for the "one url carries ~50% of events" skew test).
     Every column derives from the dense event id, so scaling to 10^10
     events is one ``spark.range`` — no shuffle, no driver data.
+
+    Physical layout: ``lsn`` is a fixed affine *permutation* of the
+    range index (``(a·r + b) mod n``, ``gcd(a, n) = 1`` so it is a
+    bijection on [0, n)), NOT the index itself.  With ``lsn = id``,
+    range partitions are contiguous lsn blocks, so an applier epoch
+    (a contiguous lsn window) falls entirely inside ONE partition and
+    every per-epoch map stage runs on a single core — profiled round
+    5: an 8-epoch run showed local[4] == local[1] wall (scaling
+    efficiency 0.25) purely from this layout artifact.  Scattering
+    lsn across partitions models how a real epoch's rows land spread
+    over Kafka partitions / log segments.  The *data* is unchanged:
+    every column is a function of the lsn value, so the generated
+    relation (as a set) is identical for any partition count — only
+    physical placement moves.  The row for a given lsn differs from
+    the pre-scatter generator's, which is fine: every consumer
+    derives its expectation from the generated rows themselves.
     """
-    ev = spark.range(n_events).withColumnRenamed("id", "e")
+    ev = spark.range(n_events).select(
+        ((F.col("id") * _scatter_multiplier(n_events) + 17) % n_events)
+        .alias("e")
+    )
 
     is_hot = _h(seed, F.col("e"), F.lit("hot")) % 100 < hot_share_percent
     u = F.when(is_hot, F.lit(0)).otherwise(

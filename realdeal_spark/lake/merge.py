@@ -55,6 +55,25 @@ OP_INSERT = "insert"
 OP_UPDATE = "update"
 OP_DELETE = "delete"
 
+
+def _phase_timer():
+    """Opt-in per-phase wall clock (RDS_PHASE_TIMING=1): prints
+    ``PHASE <name> <seconds>`` lines to stderr.  Diagnostic surface
+    for decomposing an epoch's fixed cost; zero overhead when unset."""
+    if os.environ.get("RDS_PHASE_TIMING") != "1":
+        return lambda name: None
+    import sys
+    import time as _t
+
+    state = {"t": _t.monotonic()}
+
+    def mark(name: str) -> None:
+        now = _t.monotonic()
+        print(f"PHASE {name} {now - state['t']:.2f}", file=sys.stderr, flush=True)
+        state["t"] = now
+
+    return mark
+
 # winner-key sets at or below this row count are broadcast when routing
 # payload rows (MoR winner semi join); above it the join falls back to
 # a shuffle.  ~1M keys ≈ 60-100 MB hash relation — comfortably inside
@@ -265,10 +284,12 @@ def merge_apply(
         return _merge_apply_mor(table, source, column_merge, epoch_id, extra_summary)
     if mode != "cow":
         raise ValueError(f"unknown merge mode: {mode}")
+    mark = _phase_timer()
     snap = table.snapshot()
     cur_fields, data_cols, key_cols, order_cols, src = _prep_source(
         table, snap, source
     )
+    mark("merge.prep")
 
     # persist the conflated batch: it is read by the touched-bucket
     # probe, the join, and (via the resolved cache) nothing else — one
@@ -277,6 +298,7 @@ def merge_apply(
     src, check_obs = _observe_checks(src, snap.checks)
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
+    mark("merge.materialize_src")
     if not touched:
         src.unpersist()
         return _empty_batch_result(table, snap, epoch_id, extra_summary)
@@ -433,6 +455,7 @@ def merge_apply(
                 sort_by=list(snap.order_columns or []),
             )
             cdf = None
+        mark("merge.write_delta")
         m = obs.get
         result = MergeResult(
             snapshot=None,
@@ -470,6 +493,7 @@ def merge_apply(
         result.snapshot = table.commit_bucket_replacement(
             snap, new_version, new_files, touched, summary=summary, epoch_id=epoch_id
         )
+        mark("merge.commit")
         return result
     finally:
         src.unpersist()
