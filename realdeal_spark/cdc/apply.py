@@ -118,6 +118,7 @@ class CdcApplier:
         quarantine_dir: str | None = None,
         capture_changes: bool = False,
         gc_every_epochs: int | None = 1,
+        gc_min_rows: int = 1_000_000,
     ):
         self.table = table
         self.lsn_col = lsn_col
@@ -151,9 +152,16 @@ class CdcApplier:
         # periodicGC instead fires mid-epoch against a heap full of
         # live shuffle state and measurably regresses (765s -> 896s
         # at local[4]).  Same lifecycle discipline a streaming query
-        # gets from micro-batch turnover.
+        # gets from micro-batch turnover.  A full System.gc() costs a
+        # measurable fixed ~0.3-0.5s on a warm multi-GB heap, so tiny
+        # epochs must not pay it: the trigger also requires gc_min_rows
+        # events applied since the last collection (a 30k-row bench
+        # replay never GCs — measured 5.2s -> 4.3s; a 20M-row soak
+        # epoch always does, which is where the reclaim matters).
         self.gc_every_epochs = gc_every_epochs
+        self.gc_min_rows = gc_min_rows
         self._epochs_since_gc = 0
+        self._rows_since_gc = 0
 
     # ------------------------------------------------------------ state
 
@@ -378,25 +386,34 @@ class CdcApplier:
 
     def _maybe_driver_gc(self, report: EpochReport) -> None:
         """Trigger a driver GC at the epoch boundary (see __init__
-        gc_every_epochs) so the ContextCleaner reclaims the finished
-        epoch's shuffle/broadcast state before the next one starts.
-        Skipped epochs (idempotent replays) don't count — they created
-        no state."""
+        gc_every_epochs / gc_min_rows) so the ContextCleaner reclaims
+        the finished epoch's shuffle/broadcast state before the next
+        one starts.  Skipped epochs (idempotent replays) don't count —
+        they created no state — and small epochs accumulate toward the
+        gc_min_rows threshold instead of paying the fixed GC cost."""
         if not self.gc_every_epochs or report.skipped:
             return
         self._epochs_since_gc += 1
-        if self._epochs_since_gc >= self.gc_every_epochs:
+        self._rows_since_gc += report.events_in
+        if (
+            self._epochs_since_gc >= self.gc_every_epochs
+            and self._rows_since_gc >= self.gc_min_rows
+        ):
             self._epochs_since_gc = 0
-            from realdeal_spark.lake.merge import _phase_timer
+            self._rows_since_gc = 0
+            self._fire_driver_gc()
 
-            mark = _phase_timer()
-            try:
-                jvm = self.table.spark.sparkContext._jvm
-                jvm.System.gc()
-                mark("epoch.gc")
-            except Exception:
-                pass  # py4j unavailable (e.g. Spark Connect): backstop
-                # timer in session.py still bounds the accumulation
+    def _fire_driver_gc(self) -> None:
+        from realdeal_spark.lake.merge import _phase_timer
+
+        mark = _phase_timer()
+        try:
+            jvm = self.table.spark.sparkContext._jvm
+            jvm.System.gc()
+            mark("epoch.gc")
+        except Exception:
+            pass  # py4j unavailable (e.g. Spark Connect): backstop
+            # timer in session.py still bounds the accumulation
 
     def _record(self, r: EpochReport) -> EpochReport:
         self.reports.append(r)

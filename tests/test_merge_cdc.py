@@ -258,3 +258,39 @@ def test_auto_conflate_strategy_resolution(spark, tmp_path):
     # explicit pin wins
     c = CdcApplier(wide, conflate_strategy="window")
     assert c._resolve_strategy(wide.snapshot()) == "window"
+
+
+def test_epoch_gc_gated_on_rows(spark, tmp_path):
+    """The epoch-boundary driver GC must not fire for small epochs:
+    it costs a fixed ~0.3-0.5s per System.gc() that a 30k-row bench
+    epoch cannot amortize.  Rows accumulate toward gc_min_rows across
+    epochs; skipped (replayed) epochs contribute nothing."""
+    from realdeal_spark.cdc.apply import EpochReport
+
+    table = _mk_table(spark, tmp_path)
+    a = CdcApplier(table, gc_every_epochs=1, gc_min_rows=100)
+    fired = []
+    a._fire_driver_gc = lambda: fired.append(True)
+
+    def rep(events_in, skipped=False):
+        return EpochReport(
+            epoch_id="e", lsn_start=0, lsn_end=0, events_in=events_in,
+            conflated=0, inserted=0, updated=0, deleted=0, unchanged=0,
+            stale=0, snapshot_version=None, skipped=skipped,
+        )
+
+    a._maybe_driver_gc(rep(40))
+    a._maybe_driver_gc(rep(40))
+    assert fired == []  # 80 < 100: below the rows gate
+    a._maybe_driver_gc(rep(1000, skipped=True))
+    assert fired == []  # replayed epoch created no state
+    a._maybe_driver_gc(rep(40))
+    assert fired == [True]  # 120 >= 100: fires and resets
+    assert a._rows_since_gc == 0 and a._epochs_since_gc == 0
+    a._maybe_driver_gc(rep(40))
+    assert fired == [True]
+    # disabled applier never fires regardless of volume
+    b = CdcApplier(table, gc_every_epochs=None)
+    b._fire_driver_gc = lambda: fired.append("b")
+    b._maybe_driver_gc(rep(10**9))
+    assert fired == [True]
