@@ -2387,7 +2387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,  # rows-only
         "cdc_read_changes": q_cdc_read_changes,
         "cdc_suppress_unchanged": q_cdc_suppress_unchanged,
-        "cdc_quarantine_route": q_cdc_quarantine_route,
+        # rotated in round 5 (was cdc_quarantine_route, driver-green
+        # r4): CHECK-constraint dead-lettering had never been inside
+        # the driver window; the structural-invalidity trigger it
+        # replaces exercises the same quarantine CASE chain and stays
+        # judge-verified in the tail.
+        "lake_check_quarantine": q_lake_check_quarantine,
         "cdc_epoch_admission": q_cdc_epoch_admission,
         "cdc_lineage": q_cdc_lineage,
         "lake_range_scan": q_lake_range_scan,
@@ -2456,7 +2461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-covered through web_domain_rollup + web_domain_cap's
         # pipeline (normalize → domain hash enters the value compare).
         "web_url_normalize": q_web_url_normalize,
-        "lake_check_quarantine": q_lake_check_quarantine,
+        # demoted round 5 to promote lake_check_quarantine (see the
+        # prefix comment): same quarantine machinery, proven driver-
+        # green in r4, re-verified locally each round.
+        "cdc_quarantine_route": q_cdc_quarantine_route,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
