@@ -547,6 +547,54 @@ def q_cdc_quarantine_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("event_id", F.col("_reason").alias("reason"))
 
 
+def q_cdc_quarantine_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter REDRIVE (cdc/quarantine.py redrive_quarantine —
+    the replay-after-fix loop the reference's retryable/non-retryable
+    error split implies, fusion_tables_client.py:28-42: rows failing
+    NON-retryably must park somewhere replayable): corrupt a
+    deterministic slice
+    of the log's op codes (``X_`` prefix → unknown_op), replay in two
+    quarantine-sinked epochs, then repair the corruption and drain
+    the queue back through the same MERGE under a derived
+    ``redrive:`` epoch id.  Repaired rows keep their original order
+    tuples, so out-of-order protection makes the final state equal
+    the plain window over the UNCORRUPTED log — redrive-equivalence,
+    the replay-equivalence contract extended across the DLQ."""
+    from realdeal_spark.cdc.quarantine import redrive_quarantine
+
+    log = _change_log(spark, sf_dir).withColumn(
+        "op",
+        F.when(
+            F.col("event_id") % 13 == 3, F.concat(F.lit("X_"), F.col("op"))
+        ).otherwise(F.col("op")),
+    )
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double"
+    )
+    root = tempfile.mkdtemp(prefix="rds_redrive_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/state",
+        schema,
+        key_columns=["user_id"],
+        order_columns=["ts", "event_id"],
+        n_buckets=8,
+        soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id", quarantine_dir=f"{root}/dlq")
+    mx = log.agg(F.max("event_id")).first()[0]
+    applier.run(log, epoch_size=int(mx) // 2 + 1)
+    rep = redrive_quarantine(
+        applier,
+        f"{root}/dlq",
+        repair=lambda df: df.withColumn("op", F.regexp_replace("op", "^X_", "")),
+    )
+    assert rep.requeued == 0, "repair must fix every corrupted op"
+    return table.read().select(*_EVENT_COLS)
+
+
 def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes feed (the Iceberg changelog-scan shape):
     replay epoch 1, snapshot; replay epoch 2; ``read_changes`` between
@@ -2465,6 +2513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix comment): same quarantine machinery, proven driver-
         # green in r4, re-verified locally each round.
         "cdc_quarantine_route": q_cdc_quarantine_route,
+        # round 5: the DLQ drained back through the MERGE — repair +
+        # exactly-once redrive epoch + out-of-order protection; oracle
+        # is the plain window over the uncorrupted log.
+        "cdc_quarantine_redrive": q_cdc_quarantine_redrive,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2580,6 +2632,17 @@ select event_id,
 from log
 where (op is null or op not in ('insert','update','delete'))
    or user_id is null or ts is null
+""",
+        # redrive-equivalence: corrupt → quarantine → repair → redrive
+        # must land exactly the plain window over the uncorrupted log
+        "cdc_quarantine_redrive": f"""
+with ranked as (
+  select user_id, event_id, ts, event_type, value, {_OP_SQL} as op,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events)
+select user_id, event_id, ts, event_type, value
+from ranked where rn = 1 and op <> 'delete'
 """,
         "cdc_suppress_unchanged": """
 with w as (

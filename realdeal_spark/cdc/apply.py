@@ -195,7 +195,21 @@ class CdcApplier:
         Idempotent: if the epoch id is already in the snapshot's
         applied set, returns a skipped report without touching data.
         """
-        epoch_id = self.epoch_id_for(lsn_start, lsn_end)
+        batch = events.where(
+            (F.col(self.lsn_col) >= lsn_start) & (F.col(self.lsn_col) <= lsn_end)
+        )
+        return self._apply_batch(
+            batch, self.epoch_id_for(lsn_start, lsn_end), lsn_start, lsn_end
+        )
+
+    def _apply_batch(
+        self, batch: DataFrame, epoch_id: str, lsn_start: int, lsn_end: int
+    ) -> EpochReport:
+        """Apply an already-sliced batch under an explicit epoch id —
+        the shared core of ``apply_epoch`` (grid epochs) and
+        ``cdc.quarantine.redrive_quarantine`` (repaired dead letters
+        under a ``redrive:`` id).  The lsn bounds are informational
+        (lineage/audit); the batch is applied as-is."""
         t0 = time.monotonic()
         from realdeal_spark.lake.merge import _phase_timer
 
@@ -221,9 +235,6 @@ class CdcApplier:
                 )
             )
 
-        batch = events.where(
-            (F.col(self.lsn_col) >= lsn_start) & (F.col(self.lsn_col) <= lsn_end)
-        )
         n_quarantined = 0
         if self.quarantine_dir:
             # dead-letter route: bad rows (unknown op / null key / null

@@ -15,8 +15,10 @@ split is two pushdown-filtered passes over the epoch scan (no shuffle,
 no UDF), and the quarantine write observes its row count on the same
 job (no extra count scan).  Quarantined files are parquet under
 ``<quarantine_dir>/<epoch_id>/`` with a ``_reason`` column, so they
-are replayable after a fix: read, repair, feed back through a normal
-epoch.
+are replayable after a fix via ``redrive_quarantine`` below: read,
+repair, feed back through the normal apply path under a derived
+``redrive:`` epoch id (exactly-once), with unfixed rows re-entering
+the queue.
 
 Reason precedence is fixed (unknown op → null key → null order),
 first match wins — deterministic and oracle-expressible.
@@ -24,10 +26,17 @@ first match wins — deterministic and oracle-expressible.
 
 from __future__ import annotations
 
-from typing import Sequence
+import hashlib
+import os
+import shutil
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from realdeal_spark.cdc.apply import EpochReport
 
 from realdeal_spark.lake.merge import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE
 
@@ -90,6 +99,10 @@ def write_quarantine(
     under crash-replay: a re-run of the same epoch overwrites its own
     quarantine output before the snapshot commit, never duplicates it.
     The count rides the write job as an Observation — no extra scan.
+    A zero-count write removes its own directory: the queue then
+    lists only epochs that actually dead-lettered rows, which is what
+    lets a fully-repaired redrive's retry converge on the epoch-skip
+    path (an empty requeue dir would change the queue digest).
     """
     from pyspark.sql import Observation
 
@@ -98,6 +111,143 @@ def write_quarantine(
     observed = bad.observe(obs, F.count(F.lit(1)).alias("n"))
     observed.write.mode("overwrite").parquet(f"{quarantine_dir}/{safe}")
     try:
-        return int(obs.get["n"])
+        n = int(obs.get["n"])
     except Exception:
-        return 0  # empty frame: observed node emitted nothing
+        n = 0  # empty frame: observed node emitted nothing
+    if n == 0:
+        shutil.rmtree(f"{quarantine_dir}/{safe}", ignore_errors=True)
+    return n
+
+
+# --------------------------------------------------------------- redrive
+
+DRAINED_MARKER = "_DRAINED"
+Q_EPOCH_COL = "_q_epoch"
+
+
+@dataclass
+class RedriveReport:
+    """What a redrive did: which dead-letter epochs it drained, how
+    many rows it read, and the applied epoch's full report (whose
+    ``quarantined`` count is the rows that remained invalid after the
+    repair — they re-entered the queue under the redrive's own id)."""
+
+    redrive_epoch_id: str
+    source_epochs: list[str]
+    rows_read: int
+    epoch: "EpochReport | None"  # None when there was nothing to drain
+
+    @property
+    def requeued(self) -> int:
+        return self.epoch.quarantined if self.epoch else 0
+
+
+def _epoch_dirs(quarantine_dir: str, include_drained: bool) -> list[str]:
+    if not os.path.isdir(quarantine_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(quarantine_dir)):
+        d = os.path.join(quarantine_dir, name)
+        if not os.path.isdir(d):
+            continue
+        if not include_drained and os.path.exists(
+            os.path.join(d, DRAINED_MARKER)
+        ):
+            continue
+        out.append(d)  # zero-count epochs removed their dir at write
+    return out
+
+
+def read_quarantine(
+    spark, quarantine_dir: str, include_drained: bool = False
+) -> DataFrame:
+    """The dead-letter queue as a DataFrame: event schema plus
+    ``_reason`` and ``_q_epoch`` (the epoch whose apply rejected the
+    row — recovered from the directory name, so old queues written
+    before this column existed read fine).  Drained epochs (already
+    redriven) are skipped unless asked for."""
+    dirs = _epoch_dirs(quarantine_dir, include_drained)
+    if not dirs:
+        raise ValueError(f"no undrained quarantine epochs under {quarantine_dir}")
+    parts = [
+        spark.read.parquet(d).withColumn(
+            Q_EPOCH_COL, F.lit(os.path.basename(d))
+        )
+        for d in dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def redrive_quarantine(
+    applier,
+    quarantine_dir: str,
+    repair: "Callable[[DataFrame], DataFrame] | None" = None,
+    attempt: int = 1,
+) -> RedriveReport:
+    """Drain the dead-letter queue back through the MERGE.
+
+    The production loop this closes: an upstream bug dead-letters a
+    slice of the binlog; the bug is fixed; the operator replays the
+    quarantined rows through a ``repair`` transform and the normal
+    apply path.  What makes it safe at scale:
+
+    - **Exactly-once.** The redrive applies as ONE epoch whose id is
+      a pure function of the drained source epochs and the attempt
+      number (``redrive:<sha1 of sorted source dirs>:<attempt>``) —
+      a crashed-and-retried redrive of the same queue state skips,
+      never double-applies.  A *different* repair needs a new
+      ``attempt`` (the queue state alone can't distinguish repairs).
+    - **Out-of-order safe.** Repaired rows carry their original order
+      tuple, so a key that moved on since the quarantine simply wins
+      against the late redrive (``stale`` in the report) — the same
+      protection every epoch gets.
+    - **Re-quarantine, not silent drop.** The redrive batch passes the
+      SAME validity split as any epoch: rows the repair did not fix
+      land under ``<quarantine_dir>/<redrive epoch id>/`` (undrained)
+      and count as ``report.requeued``; nothing exits the queue
+      without either applying or re-entering it.
+    - **Crash-convergent markers.** Source dirs are marked
+      ``_DRAINED`` only after the epoch commit; a crash between
+      commit and marking converges on retry.  If the crashed attempt
+      requeued nothing, the retry's digest is unchanged, the epoch
+      skips, and only the markers land.  If it DID requeue, the
+      retry sees the requeue dir as part of the queue (new digest,
+      new epoch) and re-applies — harmlessly, because a re-applied
+      row ties on its order tuple and lands as unchanged/stale, the
+      same reason whole-epoch replays are safe.  Either way every
+      invalid row ends in exactly one undrained dir.
+
+    The applier must have ``quarantine_dir`` set (the re-quarantine
+    guarantee depends on it)."""
+    if applier.quarantine_dir is None:
+        raise ValueError(
+            "redrive requires an applier with quarantine_dir set — "
+            "rows the repair does not fix must re-enter the queue, "
+            "not fail or silently drop"
+        )
+    dirs = _epoch_dirs(quarantine_dir, include_drained=False)
+    digest = hashlib.sha1(
+        "\n".join(os.path.basename(d) for d in dirs).encode()
+    ).hexdigest()[:12]
+    epoch_id = f"redrive:{digest}:{attempt}"
+    if not dirs:
+        return RedriveReport(epoch_id, [], 0, None)
+    batch = read_quarantine(applier.table.spark, quarantine_dir)
+    rows_read = batch.count()
+    if repair is not None:
+        batch = repair(batch)
+    batch = batch.drop(REASON_COL, Q_EPOCH_COL)
+    lsn_col = F.col(applier.lsn_col)
+    bounds = batch.agg(
+        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
+    ).first()
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else lo
+    report = applier._apply_batch(batch, epoch_id, lo, hi)
+    for d in dirs:
+        with open(os.path.join(d, DRAINED_MARKER), "w") as f:
+            f.write(epoch_id + "\n")
+    return RedriveReport(epoch_id, [os.path.basename(d) for d in dirs], rows_read, report)

@@ -118,3 +118,153 @@ def test_invalidity_expr_all_valid_is_null(spark):
     df = _events_df(spark, [(0, "insert", "u1", 0, "A")])
     out = df.select(invalidity_expr(["url"], ["warc_ts", "lsn"]).alias("r"))
     assert out.first()["r"] is None
+
+
+# ------------------------------------------------------------- redrive
+
+from realdeal_spark.cdc.quarantine import (  # noqa: E402
+    DRAINED_MARKER,
+    read_quarantine,
+    redrive_quarantine,
+)
+
+
+def _strip_x(df):
+    """The 'upstream fix': corrupted ops carry an X_ prefix of the
+    true op; null order timestamps are reconstructible from the lsn."""
+    return df.withColumn(
+        "op", F.regexp_replace("op", "^X_", "")
+    ).withColumn(
+        "warc_ts",
+        F.coalesce(
+            F.col("warc_ts"),
+            (F.lit(_ts(0)).cast("timestamp_ntz") + F.make_interval(secs=F.col("lsn"))),
+        ),
+    )
+
+
+def test_redrive_applies_repaired_rows_and_drains(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    rows = [
+        (0, "insert", "u1", _ts(0), b"A", "en"),
+        (1, "X_update", "u1", _ts(1), b"A2", "en"),   # corrupted op
+        (2, "X_insert", "u9", _ts(2), b"Z", "en"),    # corrupted op
+        (5, "insert", "u2", _ts(5), b"B", "en"),
+    ]
+    a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
+    assert {r["url"] for r in table.read().collect()} == {"u1", "u2"}
+
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep.rows_read == 2 and rep.requeued == 0
+    assert rep.source_epochs == ["lsn_0-9"]
+    assert rep.epoch.epoch_id.startswith("redrive:") and not rep.epoch.skipped
+    state = {r["url"]: bytes(r["html"]) for r in table.read().collect()}
+    assert state == {"u1": b"A2", "u9": b"Z", "u2": b"B"}
+    # drained: marker present, queue empty for the next redrive
+    assert (tmp_path / "dlq" / "lsn_0-9" / DRAINED_MARKER).exists()
+    rep2 = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep2.epoch is None and rep2.rows_read == 0
+
+
+def test_redrive_retry_after_marker_crash_skips(spark, tmp_path):
+    """Crash between commit and markers, nothing requeued: the retry's
+    digest is unchanged, the epoch skips, the markers land."""
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    rows = [(0, "X_insert", "u1", _ts(0), b"A", "en")]
+    a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert not rep.epoch.skipped
+    marker = tmp_path / "dlq" / "lsn_0-9" / DRAINED_MARKER
+    marker.unlink()  # simulate the crash window
+    rep2 = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep2.epoch.skipped and rep2.epoch.epoch_id == rep.epoch.epoch_id
+    assert marker.exists()
+    assert {bytes(r["html"]) for r in table.read().collect()} == {b"A"}
+
+
+def test_redrive_requeues_unfixed_rows(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    rows = [
+        (1, "X_insert", "u1", _ts(1), b"A", "en"),
+        (2, "garbage", "u2", _ts(2), b"B", "en"),  # repair can't fix this
+    ]
+    a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep.rows_read == 2 and rep.requeued == 1
+    assert {r["url"] for r in table.read().collect()} == {"u1"}
+    # the unfixed row sits in exactly one undrained dir, under the
+    # redrive's own epoch id, still carrying its reason
+    q = read_quarantine(spark, qdir)
+    left = q.collect()
+    assert len(left) == 1 and left[0]["url"] == "u2"
+    assert left[0]["_reason"] == "unknown_op"
+    assert left[0]["_q_epoch"].startswith("redrive_")
+    # a better repair on a second attempt drains it
+    fix2 = lambda df: df.withColumn(
+        "op", F.when(F.col("op") == "garbage", "insert").otherwise(F.col("op"))
+    )
+    rep2 = redrive_quarantine(a, qdir, repair=fix2)
+    assert rep2.requeued == 0
+    assert {r["url"] for r in table.read().collect()} == {"u1", "u2"}
+
+
+def test_redrive_is_out_of_order_safe(spark, tmp_path):
+    """A repaired row whose key advanced past it lands stale — the
+    redrive can never roll a key backwards."""
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    e1 = [(1, "X_update", "u1", _ts(1), b"OLD", "en")]
+    a.apply_epoch(spark.createDataFrame(e1, EVENT_SCHEMA_Q), 0, 4)
+    e2 = [(6, "insert", "u1", _ts(6), b"NEW", "en")]
+    a.apply_epoch(spark.createDataFrame(e2, EVENT_SCHEMA_Q), 5, 9)
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep.epoch.stale == 1 and rep.epoch.updated == 0
+    assert {bytes(r["html"]) for r in table.read().collect()} == {b"NEW"}
+
+
+def test_redrive_multi_epoch_queue_conflates(spark, tmp_path):
+    """Dead letters for one key across several epochs conflate to the
+    order-winner inside the single redrive epoch."""
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    for lo, rows in [
+        (0, [(1, "X_insert", "u1", _ts(1), b"V1", "en")]),
+        (10, [(11, "X_update", "u1", _ts(11), b"V2", "en")]),
+    ]:
+        a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), lo, lo + 9)
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep.rows_read == 2 and len(rep.source_epochs) == 2
+    assert {bytes(r["html"]) for r in table.read().collect()} == {b"V2"}
+
+
+def test_redrive_requires_quarantine_dir_and_empty_queue_noop(spark, tmp_path):
+    import pytest
+
+    table = _mk_table(spark, tmp_path)
+    bare = CdcApplier(table)
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        redrive_quarantine(bare, str(tmp_path / "nope"))
+    a = CdcApplier(table, quarantine_dir=str(tmp_path / "dlq"))
+    rep = redrive_quarantine(a, str(tmp_path / "dlq"))
+    assert rep.epoch is None and rep.rows_read == 0 and rep.source_epochs == []
+
+
+def test_clean_epoch_leaves_no_queue_dir(spark, tmp_path):
+    """Zero-count quarantine writes remove their own directory, so the
+    queue lists only epochs that actually dead-lettered rows."""
+    import os
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    rows = [(0, "insert", "u1", _ts(0), b"A", "en")]
+    a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
+    assert not os.path.isdir(os.path.join(qdir, "lsn_0-9"))
