@@ -268,3 +268,29 @@ def test_clean_epoch_leaves_no_queue_dir(spark, tmp_path):
     rows = [(0, "insert", "u1", _ts(0), b"A", "en")]
     a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
     assert not os.path.isdir(os.path.join(qdir, "lsn_0-9"))
+
+
+def test_redrive_drains_streaming_dlq(spark, tmp_path):
+    """The streaming applier's per-micro-batch quarantine dirs drain
+    through the same batch redrive — one recovery path for both
+    ingest modes."""
+    src = tmp_path / "dlq_src2"
+    rows0 = [
+        (0, "insert", "u1", _ts(0), b"A", "en"),
+        (1, "X_update", "u1", _ts(1), b"A2", "en"),
+    ]
+    spark.createDataFrame(rows0, EVENT_SCHEMA_Q).coalesce(1).write.parquet(
+        str(src / "p0")
+    )
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq_stream2")
+    applier = StreamingCdcApplier(table, name="dlq2", quarantine_dir=qdir)
+    stream = StreamingCdcApplier.file_source(spark, f"{src}/p*", EVENT_SCHEMA_Q)
+    q = applier.start(stream, str(tmp_path / "dlq_ckpt2"))
+    assert q.awaitTermination(300)
+    assert {bytes(r["html"]) for r in table.read().collect()} == {b"A"}
+    # drain with a batch applier over the same table + queue
+    batch_applier = CdcApplier(table, quarantine_dir=qdir)
+    rep = redrive_quarantine(batch_applier, qdir, repair=_strip_x)
+    assert rep.rows_read == 1 and rep.requeued == 0
+    assert {bytes(r["html"]) for r in table.read().collect()} == {b"A2"}
