@@ -15,6 +15,12 @@ from realdeal_spark.cdc.replicate import (
     replicate_interval,
     stream_replicate,
 )
+from realdeal_spark.cdc.quarantine import (
+    RedriveReport,
+    read_quarantine,
+    redrive_quarantine,
+    split_quarantine,
+)
 from realdeal_spark.cdc.rollup import (
     Measure,
     RollupMaintainer,
@@ -26,6 +32,10 @@ __all__ = [
     "conflate",
     "CdcApplier",
     "EpochReport",
+    "RedriveReport",
+    "read_quarantine",
+    "redrive_quarantine",
+    "split_quarantine",
     "backfill",
     "plan_evolution",
     "reconcile",
