@@ -251,3 +251,22 @@ def redrive_quarantine(
         with open(os.path.join(d, DRAINED_MARKER), "w") as f:
             f.write(epoch_id + "\n")
     return RedriveReport(epoch_id, [os.path.basename(d) for d in dirs], rows_read, report)
+
+
+def purge_drained(quarantine_dir: str) -> list[str]:
+    """Remove drained epoch dirs; returns the removed names.
+
+    The DLQ analogue of ``LakeTable.expire_snapshots``: a drained dir
+    is audit residue (its rows either applied or re-entered the queue
+    under a redrive id), so once whatever audit window the deployment
+    keeps has passed, it is safe to reclaim.  Undrained dirs — live
+    queue state — are never touched."""
+    removed = []
+    for name in sorted(os.listdir(quarantine_dir)) if os.path.isdir(
+        quarantine_dir
+    ) else []:
+        d = os.path.join(quarantine_dir, name)
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, DRAINED_MARKER)):
+            shutil.rmtree(d)
+            removed.append(name)
+    return removed

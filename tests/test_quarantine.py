@@ -294,3 +294,24 @@ def test_redrive_drains_streaming_dlq(spark, tmp_path):
     rep = redrive_quarantine(batch_applier, qdir, repair=_strip_x)
     assert rep.rows_read == 1 and rep.requeued == 0
     assert {bytes(r["html"]) for r in table.read().collect()} == {b"A2"}
+
+
+def test_purge_drained_removes_only_drained(spark, tmp_path):
+    from realdeal_spark.cdc.quarantine import purge_drained
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir)
+    rows = [
+        (1, "X_insert", "u1", _ts(1), b"A", "en"),
+        (2, "garbage", "u2", _ts(2), b"B", "en"),
+    ]
+    a.apply_epoch(spark.createDataFrame(rows, EVENT_SCHEMA_Q), 0, 9)
+    redrive_quarantine(a, qdir, repair=_strip_x)  # u2 requeued, lsn_0-9 drained
+    removed = purge_drained(qdir)
+    assert removed == ["lsn_0-9"]
+    # the requeued (undrained) dir survives and still reads
+    q = read_quarantine(spark, qdir)
+    assert [r["url"] for r in q.collect()] == ["u2"]
+    assert purge_drained(qdir) == []  # idempotent
+    assert purge_drained(str(tmp_path / "absent")) == []
