@@ -17,6 +17,7 @@ from realdeal_spark.cdc.replicate import (
 )
 from realdeal_spark.cdc.quarantine import (
     RedriveReport,
+    purge_drained,
     read_quarantine,
     redrive_quarantine,
     split_quarantine,
@@ -36,6 +37,7 @@ __all__ = [
     "read_quarantine",
     "redrive_quarantine",
     "split_quarantine",
+    "purge_drained",
     "backfill",
     "plan_evolution",
     "reconcile",
