@@ -177,7 +177,11 @@ def read_quarantine(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # epochs quarantined before a schema evolution carry fewer
+        # columns; fill the gap with nulls (the merge's evolution
+        # reconcile treats a null new column exactly like a pre-
+        # evolution row, so the redrive stays replay-equivalent)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

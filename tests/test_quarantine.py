@@ -315,3 +315,23 @@ def test_purge_drained_removes_only_drained(spark, tmp_path):
     assert [r["url"] for r in q.collect()] == ["u2"]
     assert purge_drained(qdir) == []  # idempotent
     assert purge_drained(str(tmp_path / "absent")) == []
+
+
+def test_redrive_across_schema_evolution(spark, tmp_path):
+    """Dead letters quarantined BEFORE a column was added redrive
+    cleanly alongside post-evolution dead letters: the narrower
+    epoch's rows fill the new column with null, like any
+    pre-evolution row."""
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "dlq")
+    a = CdcApplier(table, quarantine_dir=qdir, auto_evolve=True)
+    e1 = [(1, "X_insert", "u1", _ts(1), b"A", "en")]
+    a.apply_epoch(spark.createDataFrame(e1, EVENT_SCHEMA_Q), 0, 9)
+    # evolution: later events carry a new column
+    wide_schema = EVENT_SCHEMA_Q + ", score double"
+    e2 = [(11, "X_insert", "u2", _ts(11), b"B", "en", 0.5)]
+    a.apply_epoch(spark.createDataFrame(e2, wide_schema), 10, 19)
+    rep = redrive_quarantine(a, qdir, repair=_strip_x)
+    assert rep.rows_read == 2 and rep.requeued == 0
+    state = {r["url"]: r["score"] for r in table.read().collect()}
+    assert state == {"u1": None, "u2": 0.5}
