@@ -48,6 +48,8 @@ from realdeal_spark.lake.table import LakeTable
 from realdeal_spark.operators import dedup as DD
 from realdeal_spark.operators import relational as REL
 from realdeal_spark.operators import similarity as SIM
+from realdeal_spark.operators.asof import asof_join
+from realdeal_spark.operators.interval import range_join
 from realdeal_spark.operators.multimodal import binary_meta
 
 # ---------------------------------------------------------------------------
@@ -668,6 +670,55 @@ def q_rel_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return REL.top_k_per_key(ev, ["user_id"], ["value", "event_id"], k=3).select(
         "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+
+
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: each click matched to the user's most
+    recent purchase at or before the click — the feature-store /
+    state-at-event-time lookup, planned as one keyed timeline window
+    (operators/asof.py) with the skew-safe time-bucketed plan on.
+    Right side deduped to unique (user, ts) so tie semantics are
+    well-defined on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 6)).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_cols=["purchase_value"],
+        bucket_width=86_400.0,  # 1-day buckets: hot keys never serialize
+    )
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a cartesian: event values against
+    [lo, hi] price bands derived from orders, grid-bucketed to a hash
+    equi-join (operators/interval.py)."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    lo = F.col("o_totalprice") / 1000
+    iv = od.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        lo.alias("lo"),
+        (lo + (F.col("o_orderkey") % 50) / 10.0).alias("hi"),
+    )
+    pts = ev.select("event_id", "value")
+    out = range_join(pts, iv, "value", "lo", "hi", cell=8.0)
+    return out.select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "iid",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
     )
 
 
@@ -2517,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once redrive epoch + out-of-order protection; oracle
         # is the plain window over the uncorrupted log.
         "cdc_quarantine_redrive": q_cdc_quarantine_redrive,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2681,6 +2734,25 @@ with mx as (select max(event_id) as m from events)
 select e.user_id, e.event_id, e.ts, e.event_type, round(e.value, 6) as value
 from events e, mx
 where e.event_id between mx.m // 3 and 2 * mx.m // 3
+""",
+        "rel_asof_join": """
+with r as (
+  select user_id, ts, max(round(value, 6)) as purchase_value
+  from events where event_type = 'purchase' group by 1, 2),
+l as (
+  select user_id, event_id, ts from events where event_type = 'click')
+select l.user_id, l.event_id, l.ts, r.purchase_value
+from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+""",
+        "rel_range_join": """
+with i as (
+  select o_orderkey as iid,
+         o_totalprice / 1000 as lo,
+         o_totalprice / 1000 + (o_orderkey % 50) / 10.0 as hi
+  from orders where o_orderkey % 97 = 0)
+select e.event_id, round(e.value, 6) as value, i.iid,
+       round(i.lo, 6) as lo, round(i.hi, 6) as hi
+from events e join i on e.value between i.lo and i.hi
 """,
         "rel_topk_per_key": """
 with ranked as (

@@ -9,12 +9,17 @@
 """
 
 from realdeal_spark.operators.relational import find_new, latest_per_key, top_k_per_key
+from realdeal_spark.operators.asof import asof_join
+from realdeal_spark.operators.interval import range_join, suggest_cell
 from realdeal_spark.operators import dedup, geo, multimodal, similarity
 
 __all__ = [
     "find_new",
     "latest_per_key",
     "top_k_per_key",
+    "asof_join",
+    "range_join",
+    "suggest_cell",
     "dedup",
     "geo",
     "multimodal",
