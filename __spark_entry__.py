@@ -269,6 +269,52 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_ndv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-COUNT-DISTINCT maintenance (cdc.rollup ndv): the
+    same bootstrap-then-advance shape as cdc_incremental_rollup, with
+    two HLL-sketch ndv measures riding the state.  The bucketed
+    columns keep per-group cardinality ≤ 97, far inside the sketch's
+    coupon-exact regime (lg_k=12 is exact to ~384), so the estimate
+    equals DuckDB's exact count(distinct) at every scale factor —
+    the oracle checks real values, not a tolerance."""
+    from realdeal_spark.cdc.rollup import Measure, rollup_advance, rollup_full
+
+    log = (
+        _change_log(spark, sf_dir)
+        .withColumn("last_op", F.col("op"))
+        .withColumn("u_bucket", F.col("user_id") % 97)
+        .withColumn(
+            "v_bucket", (F.floor(F.col("value")) % 31).cast("bigint")
+        )
+    )
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string, "
+        "u_bucket bigint, v_bucket bigint"
+    )
+    root = tempfile.mkdtemp(prefix="rds_ndv_")
+    table = LakeTable.create(
+        spark, f"{root}/state", schema,
+        key_columns=["user_id"], order_columns=["ts", "event_id"],
+        n_buckets=8, soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    measures = [
+        Measure("n_rows", "count"),
+        Measure("ndv_users", "ndv", "u_bucket"),
+        Measure("ndv_values", "ndv", "v_bucket"),
+    ]
+    applier.run(log, epoch_size=mx // 2 + 1, max_epochs=1)
+    v1 = table.current_version()
+    state = rollup_full(table, ["event_type"], measures, version=v1)
+    applier.run(log, epoch_size=mx // 2 + 1)
+    v2 = table.current_version()
+    out = rollup_advance(table, state, v1, v2, ["event_type"], measures)
+    return out.select("event_type", "n_rows", "ndv_users", "ndv_values")
+
+
 def q_cdc_merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read MERGE path (J2 at 100-TB shape): replay the
     change log in three lsn-range epochs, each writing only *changed*
@@ -2570,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine_redrive": q_cdc_quarantine_redrive,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "cdc_ndv_rollup": q_cdc_ndv_rollup,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2642,6 +2689,13 @@ where event_type <> 'view'
 with final as ({_FINAL_STATE_SQL})
 select event_type, count(*) as n_rows, {_sum_sql('value')} as sum_value,
        max(ts) as max_ts, min(value) as min_value
+from final group by event_type
+""",
+        "cdc_ndv_rollup": f"""
+with final as ({_FINAL_STATE_SQL})
+select event_type, count(*) as n_rows,
+       count(distinct user_id % 97) as ndv_users,
+       count(distinct cast(floor(value) as bigint) % 31) as ndv_values
 from final group by event_type
 """,
         "cdc_find_new": """

@@ -24,6 +24,14 @@ dims+measure-column projected scan for input.  When no pre-image
 hits an extreme (the common dashboard epoch) the advance skips the
 table read entirely — the check itself is O(changes).
 
+``ndv`` (approximate COUNT DISTINCT) rides the same two-regime rule
+with a Datasketches HLL sketch as the carried state: inserted values
+union losslessly into the group's sketch (register-max semantics make
+union-of-sketches estimate-identical to a from-scratch sketch of the
+union), while a removed non-null value dirties its group — a sketch
+cannot subtract, and the value may or may not survive in untouched
+rows — triggering the same restricted re-sketch.  See ``Measure``.
+
 Exact-sum discipline: sums accumulate in DECIMAL(38, scale) (same
 fixed-point trick as the oracle queries) so the maintained state is
 bit-equal to a from-scratch recompute regardless of the order deltas
@@ -55,26 +63,45 @@ from realdeal_spark.lake.table import LakeTable
 
 _ADDITIVE = ("count", "sum")
 _EXTREMA = ("min", "max")
+_SKETCH = ("ndv",)
 
 
 @dataclass(frozen=True)
 class Measure:
     """One maintained aggregate: ``kind`` in {'count', 'sum', 'min',
-    'max'}; ``col`` is ignored for count.  ``scale`` = fixed-point
-    decimal digits for sum (exactness contract).  min/max advance via
-    the dirty-group re-aggregation rule (module docstring)."""
+    'max', 'ndv'}; ``col`` is ignored for count.  ``scale`` =
+    fixed-point decimal digits for sum (exactness contract).  min/max
+    advance via the dirty-group re-aggregation rule (module
+    docstring).
+
+    ``ndv`` maintains an approximate distinct count through a
+    Datasketches HLL sketch (``hll_sketch_agg``, JVM-side): the state
+    carries a hidden ``_sk_<alias>`` binary column and the visible
+    alias holds its estimate.  Sketches union losslessly for INSERTED
+    values — set(to) = set(from) ∪ added means union(sketch(from),
+    sketch(added)) is bit-equivalent in estimate to a from-scratch
+    sketch (register-max semantics) — but cannot subtract, so any
+    pre-image with a non-null measured value dirties its group and
+    the group re-sketches from the target snapshot (broadcast
+    semi-join restriction, same O(changed groups) rescan as min/max).
+    Insert-only groups (the dominant CDC shape) advance with no table
+    read.  ``lg_k`` sizes the sketch (2^lg_k registers: estimates are
+    EXACT below the coupon-list threshold — a few hundred at the
+    default 12 — and ±~1.6% above)."""
 
     alias: str
     kind: str
     col: str | None = None
     scale: int = 4
+    lg_k: int = 12
 
     def __post_init__(self):
-        if self.kind not in _ADDITIVE + _EXTREMA:
+        if self.kind not in _ADDITIVE + _EXTREMA + _SKETCH:
             raise ValueError(
                 f"measure {self.alias}: kind {self.kind!r} is not "
                 "incrementally maintainable (count/sum advance "
-                "additively, min/max by dirty-group re-aggregation)"
+                "additively, min/max by dirty-group re-aggregation, "
+                "ndv by HLL-sketch union + dirty-group re-sketch)"
             )
         if self.kind != "count" and not self.col:
             raise ValueError(f"{self.kind} measure {self.alias} needs col")
@@ -106,6 +133,22 @@ def _extrema_exprs(measures: Sequence[Measure], prefix: str = "") -> list:
     ]
 
 
+def _sketch_exprs(measures: Sequence[Measure], prefix: str) -> list:
+    """HLL sketch aggregates for the ndv measures (``prefix`` keys the
+    role: ``_sk_`` state, ``_add_sk_`` added rows, ``_rs_sk_`` rescan).
+    Values canonicalize through a string cast — hll_sketch_agg only
+    hashes int/bigint/string/binary, and Spark's cast-to-string is a
+    deterministic injection per type, so the distinct count is
+    unchanged and the full/advance paths hash identical items."""
+    return [
+        F.hll_sketch_agg(F.col(m.col).cast("string"), F.lit(m.lg_k)).alias(
+            prefix + m.alias
+        )
+        for m in measures
+        if m.kind in _SKETCH
+    ]
+
+
 def rollup_full(
     table: LakeTable,
     dims: Sequence[str],
@@ -116,9 +159,22 @@ def rollup_full(
     and the equivalence oracle for :func:`rollup_advance`."""
     additive = [m for m in measures if m.kind in _ADDITIVE]
     extrema = [m for m in measures if m.kind in _EXTREMA]
-    aggs = _agg_exprs(additive, +1) + _extrema_exprs(extrema)
-    # keep the caller's declared measure order in the output schema
-    order = [F.col(d) for d in dims] + [F.col(m.alias) for m in measures]
+    ndvs = [m for m in measures if m.kind in _SKETCH]
+    aggs = (
+        _agg_exprs(additive, +1)
+        + _extrema_exprs(extrema)
+        + _sketch_exprs(ndvs, "_sk_")
+    )
+    # keep the caller's declared measure order in the output schema;
+    # ndv exposes the estimate, with the sketch riding behind it
+    order = [F.col(d) for d in dims] + [
+        F.coalesce(
+            F.hll_sketch_estimate(F.col(f"_sk_{m.alias}")), F.lit(0)
+        ).cast("long").alias(m.alias)
+        if m.kind in _SKETCH
+        else F.col(m.alias)
+        for m in measures
+    ] + [F.col(f"_sk_{m.alias}") for m in ndvs]
     return (
         table.read(version=version).groupBy(*dims).agg(*aggs).select(*order)
     )
@@ -146,6 +202,14 @@ def rollup_advance(
         to_version = table.current_version()
     additive = [m for m in measures if m.kind in _ADDITIVE]
     extrema = [m for m in measures if m.kind in _EXTREMA]
+    ndvs = [m for m in measures if m.kind in _SKETCH]
+    for m in ndvs:
+        if f"_sk_{m.alias}" not in state.columns:
+            raise ValueError(
+                f"ndv measure {m.alias}: state is missing its hidden "
+                f"sketch column _sk_{m.alias} — bootstrap the state "
+                "with rollup_full (estimates alone cannot advance)"
+            )
     ch = table.read_changes(
         from_version, to_version, include_preimage=True
     )
@@ -186,9 +250,13 @@ def rollup_advance(
     merged = state.alias("s").join(
         delta.alias("d"), on=list(dims), how="full_outer"
     )
-    if extrema:
-        # monotone side: per-dim extreme of the ADDED rows only
-        add_ext = add.groupBy(*dims).agg(*_extrema_exprs(extrema, "_add_"))
+    if extrema or ndvs:
+        # monotone side: per-dim extreme / added-value sketch of the
+        # ADDED rows only
+        add_ext = add.groupBy(*dims).agg(
+            *_extrema_exprs(extrema, "_add_"),
+            *_sketch_exprs(ndvs, "_add_sk_"),
+        )
         # dirty side: a group must re-aggregate only if a pre-image
         # HIT the stored extreme — losing a non-extreme value cannot
         # change min/max (the extreme row provably survived, so the
@@ -205,6 +273,12 @@ def rollup_advance(
         hit = F.lit(False)
         for m in extrema:
             hit = hit | (F.col(m.col) == F.col(f"_st_{m.alias}"))
+        for m in ndvs:
+            # a sketch cannot subtract: losing ANY non-null value may
+            # or may not drop the group's distinct count (the value
+            # can survive in untouched rows), so the group re-sketches.
+            # Null pre-image values never entered the sketch — clean.
+            hit = hit | F.col(m.col).isNotNull()
         dirty = (
             sub.join(
                 state.select(
@@ -230,16 +304,25 @@ def rollup_advance(
             ).withColumn("_dirty", F.lit(False))
             for m in extrema:
                 merged = merged.withColumn(f"_rs_{m.alias}", F.lit(None))
+            for m in ndvs:
+                merged = merged.withColumn(
+                    f"_rs_sk_{m.alias}", F.lit(None).cast("binary")
+                )
         else:
             need_cols = list(
-                dict.fromkeys(list(dims) + [m.col for m in extrema])
+                dict.fromkeys(
+                    list(dims) + [m.col for m in extrema + ndvs]
+                )
             )
             rescan = (
                 table.read(version=to_version)
                 .select(*need_cols)
                 .join(F.broadcast(dirty), on=list(dims), how="left_semi")
                 .groupBy(*dims)
-                .agg(*_extrema_exprs(extrema, "_rs_"))
+                .agg(
+                    *_extrema_exprs(extrema, "_rs_"),
+                    *_sketch_exprs(ndvs, "_rs_sk_"),
+                )
             )
             merged = (
                 merged.join(add_ext.alias("a"), on=list(dims), how="full_outer")
@@ -251,6 +334,7 @@ def rollup_advance(
                 .join(rescan.alias("r"), on=list(dims), how="left_outer")
             )
     cols = [F.col(d) for d in dims]
+    sketch_cols: list = []
     for m in measures:
         if m.kind in _ADDITIVE:
             s, d = F.col(f"s.{m.alias}"), F.col(f"d.{m.alias}")
@@ -262,6 +346,23 @@ def rollup_advance(
             cols.append(
                 (F.coalesce(s, zero) + F.coalesce(d, zero)).alias(m.alias)
             )
+        elif m.kind in _SKETCH:
+            old = F.col(f"s._sk_{m.alias}")
+            added = F.col(f"_add_sk_{m.alias}")
+            union = (
+                F.when(old.isNull(), added)
+                .when(added.isNull(), old)
+                .otherwise(F.hll_union(old, added))
+            )
+            sk = F.when(F.col("_dirty"), F.col(f"_rs_sk_{m.alias}")).otherwise(
+                union
+            )
+            cols.append(
+                F.coalesce(F.hll_sketch_estimate(sk), F.lit(0))
+                .cast("long")
+                .alias(m.alias)
+            )
+            sketch_cols.append(sk.alias(f"_sk_{m.alias}"))
         else:
             old, added = F.col(f"s.{m.alias}"), F.col(f"_add_{m.alias}")
             combine = (
@@ -272,7 +373,7 @@ def rollup_advance(
                 .otherwise(combine)
                 .alias(m.alias)
             )
-    out = merged.select(*cols)
+    out = merged.select(*cols, *sketch_cols)
     if count_aliases:
         # a dim value whose row count hit zero leaves the state
         out = out.where(F.col(count_aliases[0]) > 0)

@@ -425,3 +425,164 @@ def test_rollup_maintainer_bootstraps_after_expired_base(spark, tmp_path):
     m2 = RollupMaintainer(t, ["cat"], MEASURES, state_dir=sd)
     s = m2.refresh()
     assert _rows(s) == _rows(rollup_full(t, ["cat"], MEASURES))
+
+
+# ------------------------------------------------------------------ ndv (HLL)
+
+MEASURES_NDV = [
+    Measure("n_rows", "count"),
+    Measure("ndv_k", "ndv", "k"),
+    Measure("ndv_v", "ndv", "v"),
+]
+
+
+def _rows_ndv(df):
+    return sorted(
+        (r["cat"], r["n_rows"], r["ndv_k"], r["ndv_v"])
+        for r in df.collect()
+    )
+
+
+def test_rollup_ndv_advance_equals_full(spark, tmp_path):
+    """ndv via HLL sketch union + dirty-group re-sketch: estimates
+    after an update/delete/insert epoch must equal a from-scratch
+    sketch at the target snapshot (exact at these cardinalities —
+    the sketch is still in coupon-list mode)."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.5),
+        (2, "insert", "b", 11, "x", 1.5),   # duplicate v inside x
+        (3, "insert", "c", 12, "y", 3.0),
+        (4, "insert", "d", 13, "z", 4.0),
+    ]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES_NDV, version=v1)
+    assert "_sk_ndv_k" in state.columns and "_sk_ndv_v" in state.columns
+    merge_apply(t, _ev(spark, [
+        (5, "update", "a", 20, "y", 10.0),   # x loses k=a, v=1.5 stays via b
+        (6, "delete", "d", 21, None, None),  # z drops to zero rows
+        (7, "insert", "e", 22, "x", 1.5),    # another duplicate v
+        (8, "update", "c", 23, "y", 3.5),    # same cat, value changes
+        (9, "insert", "f", 24, "w", 1.0),    # new dim value
+    ]))
+    v2 = t.current_version()
+    inc = rollup_advance(t, state, v1, v2, ["cat"], MEASURES_NDV)
+    full = rollup_full(t, ["cat"], MEASURES_NDV, version=v2)
+    assert _rows_ndv(inc) == _rows_ndv(full)
+    # duplicate-v discipline: x holds {b:1.5, e:1.5} -> ndv_v == 1
+    by_cat = {c: (nk, nv) for c, _, nk, nv in _rows_ndv(inc)}
+    assert by_cat["x"] == (2, 1)
+    assert "z" not in by_cat
+
+
+def test_rollup_ndv_insert_only_skips_table_read(spark, tmp_path):
+    """An epoch with no pre-images advances by pure sketch union —
+    no table read at all (proven by making `read` raise)."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),
+        (2, "insert", "b", 20, "y", 2.0),
+    ]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES_NDV, version=v1).localCheckpoint(
+        eager=True
+    )
+    merge_apply(t, _ev(spark, [
+        (3, "insert", "c", 30, "x", 1.0),    # duplicate v in x
+        (4, "insert", "d", 40, "z", 9.0),    # brand-new group
+    ]))
+    v2 = t.current_version()
+    expected = _rows_ndv(rollup_full(t, ["cat"], MEASURES_NDV, version=v2))
+
+    real_read = t.read
+
+    def poisoned_read(*a, **kw):
+        raise AssertionError("insert-only ndv advance touched the table")
+
+    t.read = poisoned_read
+    try:
+        got = _rows_ndv(rollup_advance(t, state, v1, v2, ["cat"], MEASURES_NDV))
+    finally:
+        t.read = real_read
+    assert got == expected
+
+
+def test_rollup_ndv_multi_epoch_chain(spark, tmp_path):
+    """Sketch state advanced epoch-by-epoch equals the from-scratch
+    rollup at every step, across mixed insert/update/delete churn."""
+    import random
+
+    rng = random.Random(13)
+    t = _mk(spark, tmp_path)
+    state, prev_v, lsn = None, None, 0
+    for epoch in range(4):
+        rows = []
+        for _ in range(30):
+            lsn += 1
+            k = f"k{rng.randrange(20)}"
+            op = rng.choice(["insert", "insert", "update", "delete"])
+            if op == "delete":
+                rows.append((lsn, op, k, lsn, None, None))
+            else:
+                rows.append(
+                    (lsn, op, k, lsn, "pqr"[rng.randrange(3)],
+                     float(rng.randrange(6)))
+                )
+        # merge_apply expects a conflated batch (one row per key)
+        from realdeal_spark.cdc.conflate import conflate
+
+        merge_apply(
+            t, conflate(_ev(spark, rows), ["k"], ["ts", "lsn"],
+                        strategy="max_by")
+        )
+        v = t.current_version()
+        if state is None:
+            state = rollup_full(t, ["cat"], MEASURES_NDV, version=v)
+        else:
+            state = rollup_advance(
+                t, state, prev_v, v, ["cat"], MEASURES_NDV
+            )
+        state = state.localCheckpoint(eager=True)
+        prev_v = v
+        assert _rows_ndv(state) == _rows_ndv(
+            rollup_full(t, ["cat"], MEASURES_NDV, version=v)
+        ), f"diverged at epoch {epoch}"
+
+
+def test_rollup_ndv_maintainer_persists_sketches(spark, tmp_path):
+    """RollupMaintainer carries the hidden sketch columns through its
+    parquet state dir: a restarted maintainer resumes and stays exact."""
+    from realdeal_spark.cdc.rollup import RollupMaintainer
+
+    t = _mk(spark, tmp_path)
+    sd = str(tmp_path / "ndv_state")
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 10, "x", 1.0),
+        (2, "insert", "b", 11, "y", 2.0),
+    ]))
+    m = RollupMaintainer(t, ["cat"], MEASURES_NDV, state_dir=sd)
+    m.refresh()
+    merge_apply(t, _ev(spark, [
+        (3, "update", "a", 20, "x", 3.0),
+        (4, "insert", "c", 21, "x", 1.0),
+    ]))
+    m.refresh()
+    # restart: resume from parquet (sketches must round-trip)
+    m2 = RollupMaintainer(t, ["cat"], MEASURES_NDV, state_dir=sd)
+    merge_apply(t, _ev(spark, [(5, "insert", "d", 30, "y", 2.0)]))
+    s = m2.refresh()
+    assert _rows_ndv(s) == _rows_ndv(rollup_full(t, ["cat"], MEASURES_NDV))
+
+
+def test_rollup_ndv_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="needs col"):
+        Measure("n", "ndv")
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 10, "x", 1.0)]))
+    v1 = t.current_version()
+    state = rollup_full(t, ["cat"], MEASURES_NDV, version=v1)
+    merge_apply(t, _ev(spark, [(2, "insert", "b", 20, "y", 2.0)]))
+    with pytest.raises(ValueError, match="_sk_ndv_k"):
+        rollup_advance(
+            t, state.drop("_sk_ndv_k"), v1, None, ["cat"], MEASURES_NDV
+        )
