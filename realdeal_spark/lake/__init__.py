@@ -30,6 +30,7 @@ from realdeal_spark.lake.inspect import (
     lineage_df,
     maintenance_plan,
     partitions_df,
+    remove_orphan_files,
     snapshots_df,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "maintenance_plan",
     "merge_apply",
     "partitions_df",
+    "remove_orphan_files",
     "snapshots_df",
     "update_where",
 ]

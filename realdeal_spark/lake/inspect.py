@@ -327,3 +327,86 @@ def auto_maintain(
                 {"action": "needs_decision", "stage": r["target"]}
             )
     return done
+
+
+def remove_orphan_files(
+    table,
+    older_than_s: float = 86_400.0,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Delete data files no snapshot references — crash debris, not
+    history (Iceberg's ``remove_orphan_files``, vs ``expire_snapshots``
+    which trades history for space).
+
+    A writer that dies between writing its delta files and winning the
+    hard-link CAS leaves parquet under ``data/`` that no version ever
+    points at; rebase-and-retry losers and aborted speculative writes
+    leave the same debris.  This sweep removes exactly those files:
+    the referenced set is the union over EVERY on-disk snapshot (all
+    time-travel versions stay readable — nothing the format can reach
+    is touched), every staged WAP snapshot, write-time CDF capture
+    files, and Bloom-sidecar directories.
+
+    ``older_than_s`` is the in-flight-writer guard: a racing writer's
+    files exist before its snapshot does, so only files older than the
+    window are eligible (default 1 day — far beyond any commit's
+    write-to-CAS latency).  ``dry_run`` reports without deleting.
+
+    Driver-side metadata walk + one filesystem listing — O(files in
+    metadata + files on disk), no data scan.  Returns ``{"orphans":
+    [...], "removed": n, "bytes": b}`` (paths relative to the table
+    root; ``removed`` is 0 on dry runs).
+    """
+    import time
+
+    referenced: set[str] = set()
+    snaps = [table.snapshot(v) for v in table.versions()] + [
+        table.staged_snapshot(n) for n in table.staged_names()
+    ]
+    bloom_dirs: set[str] = set()
+    for s in snaps:
+        for fl in s.files.values():
+            for fe in fl:
+                referenced.add(fe["path"])
+                if fe.get("bloom"):
+                    bloom_dirs.add(fe["bloom"])
+        cdf = s.summary.get("cdf") or {}
+        for kind in ("pre", "chg"):
+            referenced.update(fe["path"] for fe in cdf.get(kind, []))
+    for bd in sorted(bloom_dirs):
+        full = os.path.join(table.root, bd)
+        if os.path.isdir(full):
+            referenced.update(
+                os.path.join(bd, fn) for fn in os.listdir(full)
+            )
+    cutoff = time.time() - older_than_s
+    orphans: list[str] = []
+    total_bytes = 0
+    data_root = os.path.join(table.root, "data")
+    for root_dir, dirs, fns in os.walk(data_root, topdown=False):
+        for fn in fns:
+            # parquet only, like expire_snapshots: _SUCCESS/.crc
+            # markers are write bookkeeping, not recoverable space
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(root_dir, fn)
+            rel = os.path.relpath(full, table.root)
+            if rel in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                size = os.path.getsize(full)
+            except OSError:
+                continue  # raced with another janitor
+            orphans.append(rel)
+            total_bytes += size
+            if not dry_run:
+                os.unlink(full)
+        if not dry_run and root_dir != data_root and not os.listdir(root_dir):
+            os.rmdir(root_dir)
+    return {
+        "orphans": sorted(orphans),
+        "removed": 0 if dry_run else len(orphans),
+        "bytes": total_bytes,
+    }

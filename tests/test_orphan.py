@@ -1,0 +1,119 @@
+"""Orphan-file cleanup (lake.inspect.remove_orphan_files): crash
+debris is removed, history/stages/sidecars are never touched, and the
+age guard protects in-flight writers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from realdeal_spark.lake import LakeTable, merge_apply, remove_orphan_files
+
+SCHEMA = "k string, ts timestamp_ntz, lsn bigint, v double"
+
+
+def _mk(spark, tmp_path, **kw):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=4, soft_delete=True, **kw,
+    )
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=lsn), lsn, v, op)
+            for (lsn, op, k, v) in rows
+        ],
+        SCHEMA + ", op string",
+    )
+
+
+def _plant(table, rel, age_s=120.0):
+    """Drop a fake uncommitted parquet under the table's data dir."""
+    full = os.path.join(table.root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "wb") as f:
+        f.write(b"PAR1 not really parquet PAR1")
+    old = os.path.getmtime(full) - age_s
+    os.utime(full, (old, old))
+    return rel
+
+
+def _snap_rows(table):
+    return {
+        v: sorted((r["k"], r["lsn"]) for r in table.read(version=v).collect())
+        for v in table.versions()
+    }
+
+
+def test_orphans_removed_history_intact(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 1.0), (2, "insert", "b", 2.0),
+    ]))
+    merge_apply(t, _ev(spark, [(3, "update", "a", 9.0)]))
+    before = _snap_rows(t)
+    # crash debris: a loser delta dir and a stray inside a live dir
+    live_delta = sorted(os.listdir(os.path.join(t.root, "data")))[0]
+    o1 = _plant(t, "data/delta-zombie/pb=0/part-dead.parquet")
+    o2 = _plant(t, f"data/{live_delta}/pb=1/part-loser.parquet")
+
+    dry = remove_orphan_files(t, older_than_s=60, dry_run=True)
+    assert sorted(dry["orphans"]) == sorted([o1, o2])
+    assert dry["removed"] == 0 and dry["bytes"] > 0
+    assert os.path.exists(os.path.join(t.root, o1))
+
+    res = remove_orphan_files(t, older_than_s=60)
+    assert res["removed"] == 2
+    assert not os.path.exists(os.path.join(t.root, o1))
+    assert not os.path.exists(os.path.join(t.root, o2))
+    # the zombie's emptied dirs collapse
+    assert not os.path.exists(os.path.join(t.root, "data/delta-zombie"))
+    # every time-travel version still reads identically
+    assert _snap_rows(t) == before
+
+
+def test_age_guard_spares_inflight_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 1.0)]))
+    fresh = _plant(t, "data/delta-racing/pb=0/part-inflight.parquet", age_s=0.0)
+    res = remove_orphan_files(t, older_than_s=3600)
+    assert res["orphans"] == [] and res["removed"] == 0
+    assert os.path.exists(os.path.join(t.root, fresh))
+    # and it IS collected once old enough
+    res = remove_orphan_files(t, older_than_s=-1)
+    assert res["orphans"] == [fresh]
+
+
+def test_clean_table_yields_zero_orphans(spark, tmp_path):
+    """MoR deltas + compaction churn are all referenced by SOME
+    version: nothing is an orphan even with no age guard at all."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 1.0)]), mode="mor")
+    merge_apply(t, _ev(spark, [(2, "update", "a", 2.0)]), mode="mor")
+    t.compact()
+    res = remove_orphan_files(t, older_than_s=-1)
+    assert res == {"orphans": [], "removed": 0, "bytes": 0}
+    assert [r["v"] for r in t.read().collect()] == [2.0]
+
+
+def test_staged_and_bloom_files_are_pinned(spark, tmp_path):
+    t = _mk(spark, tmp_path, key_blooms=True)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 1.0), (2, "insert", "b", 2.0),
+    ]))
+    # a staged WAP append is invisible to readers but must be pinned
+    t.append(
+        _ev(spark, [(5, "insert", "z", 5.0)]).drop("op"), stage="audit"
+    )
+    res = remove_orphan_files(t, older_than_s=-1)
+    assert res["orphans"] == []
+    # bloom-pruned lookup still serves
+    keys = spark.createDataFrame([("a",)], "k string")
+    assert [r["v"] for r in t.lookup(keys).collect()] == [1.0]
+    assert t.staged_names() == ["audit"]
