@@ -88,6 +88,12 @@ HEADLINE = HEADLINE_R1 + [
     # DML through the MERGE path
     "lake_value_lookup",
     "lake_predicate_dml",
+    # round-5 additions: temporal as-of join (bucketed two-phase
+    # window), grid-bucketed range join, and the HLL ndv rollup
+    # advance riding the dirty-group machinery
+    "rel_asof_join",
+    "rel_range_join",
+    "cdc_ndv_rollup",
 ]
 
 
