@@ -36,7 +36,7 @@ _SNAPSHOTS_SCHEMA = (
     "version int, parent int, operation string, n_buckets int, "
     "n_files bigint, total_bytes bigint, mor_files bigint, "
     "n_applied_epochs int, current_schema int, n_schema_versions int, "
-    "soft_delete boolean"
+    "soft_delete boolean, committed_at double"
 )
 
 _PARTITIONS_SCHEMA = (
@@ -115,6 +115,11 @@ def snapshots_df(table) -> DataFrame:
                 snap.current_schema,
                 len(snap.schema_versions),
                 bool(snap.soft_delete),
+                # wall-clock commit stamp (TIMESTAMP-AS-OF resolution);
+                # None on snapshots predating the stamp
+                (lambda at: float(at) if at is not None else None)(
+                    snap.summary.get("committed_at")
+                ),
             )
         )
     return table.spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)

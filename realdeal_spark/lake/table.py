@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -452,6 +453,12 @@ class LakeTable:
     def _commit(self, snap: Snapshot) -> None:
         """Atomic create-only commit of ``v{N}.json`` via hard link."""
         os.makedirs(self._meta_dir(), exist_ok=True)
+        # wall-clock commit stamp for TIMESTAMP-AS-OF time travel
+        # (version_asof); stamped at write time, so a rebase retry
+        # restamps — the stamp matches the attempt that actually won
+        # the CAS.  setdefault keeps an explicitly-carried stamp (none
+        # of the engine's paths set one today).
+        snap.summary.setdefault("committed_at", time.time())
         tmp = os.path.join(self._meta_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             f.write(self._snap_to_json(snap))
@@ -2091,6 +2098,47 @@ class LakeTable:
         1..current range — ``expire_snapshots`` unlinks old versions,
         and history/lineage must keep working afterwards."""
         return [self.snapshot(v) for v in self.versions()]
+
+    def version_asof(self, ts) -> int:
+        """The latest version committed at or before ``ts`` — the
+        Iceberg/Delta ``TIMESTAMP AS OF`` resolution.
+
+        ``ts`` is epoch seconds or a (naive-UTC) datetime.  Commit
+        times come from the ``committed_at`` summary stamp; snapshots
+        predating the stamp (older tables) fall back to the snapshot
+        file's mtime — the hard-link CAS preserves the written temp
+        file's mtime, which IS the winning attempt's write time.
+        Driver-side metadata walk, O(versions on disk); raises if the
+        table has no snapshot that old (expired or pre-creation)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp() if ts.tzinfo else ts.replace(
+                tzinfo=_dt.timezone.utc
+            ).timestamp()
+        best: int | None = None
+        for v in self.versions():
+            at = self.snapshot(v).summary.get("committed_at")
+            if at is None:
+                try:
+                    at = os.path.getmtime(self._snap_path(v))
+                except OSError:
+                    continue
+            if float(at) <= float(ts):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts} — the earliest "
+                "retained version is newer (expired?) or the table "
+                "did not exist yet"
+            )
+        return best
+
+    def read_asof(self, ts, **read_kwargs) -> DataFrame:
+        """``TIMESTAMP AS OF`` read: :meth:`read` at
+        :meth:`version_asof`'s resolution.  All ``read`` kwargs
+        (range_filters, buckets, file_allowlist, ...) pass through."""
+        return self.read(version=self.version_asof(ts), **read_kwargs)
 
     def versions(self) -> list[int]:
         names = os.listdir(self._meta_dir())

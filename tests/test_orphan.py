@@ -117,3 +117,54 @@ def test_staged_and_bloom_files_are_pinned(spark, tmp_path):
     keys = spark.createDataFrame([("a",)], "k string")
     assert [r["v"] for r in t.lookup(keys).collect()] == [1.0]
     assert t.staged_names() == ["audit"]
+
+
+# --------------------------------------------- TIMESTAMP AS OF time travel
+
+
+def test_version_asof_resolution(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path)
+    stamps = []
+    for i, lsn in enumerate((1, 2, 3)):
+        merge_apply(t, _ev(spark, [(lsn, "insert", f"k{lsn}", float(lsn))]))
+        stamps.append(t.snapshot().summary["committed_at"])
+        _time.sleep(0.05)
+    v_create = t.versions()[0]
+    # exactly-at and just-after each commit resolve to that commit;
+    # just-before resolves to the previous one
+    vs = t.versions()[1:]  # the three merge commits
+    for v, at in zip(vs, stamps):
+        assert t.version_asof(at) == v
+        assert t.version_asof(at + 0.01) == v
+    assert t.version_asof(stamps[1] - 0.001) == vs[0]
+    # far future -> current; before creation -> error
+    assert t.version_asof(_time.time() + 3600) == t.current_version()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.version_asof(0.0)
+    # read_asof serves the historical state
+    mid = t.read_asof(stamps[1])
+    assert sorted(r["k"] for r in mid.collect()) == ["k1", "k2"]
+
+
+def test_version_asof_mtime_fallback_and_datetime(spark, tmp_path):
+    import datetime as dt
+    import json, os
+
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 1.0)]))
+    v = t.current_version()
+    # simulate a pre-stamp snapshot: strip committed_at from the JSON
+    p = t._snap_path(v)
+    d = json.loads(open(p).read())
+    d["summary"].pop("committed_at")
+    os.unlink(p)
+    open(p, "w").write(json.dumps(d))
+    t._snap_cache.clear() if hasattr(t, "_snap_cache") else None
+    at = os.path.getmtime(p)
+    assert t.version_asof(at + 1) == v
+    # datetime input (naive = UTC)
+    assert t.version_asof(dt.datetime.now(dt.timezone.utc)) == v
