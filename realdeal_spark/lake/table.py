@@ -2140,6 +2140,34 @@ class LakeTable:
         (range_filters, buckets, file_allowlist, ...) pass through."""
         return self.read(version=self.version_asof(ts), **read_kwargs)
 
+    def to_view(
+        self,
+        name: str,
+        version: int | None = None,
+        asof=None,
+        **read_kwargs,
+    ) -> str:
+        """Register a snapshot read as a temp view for ``spark.sql``
+        composition — the SQL front door without a SQL dialect of its
+        own: the view body IS the engine's pruned :meth:`read` plan
+        (bucket pruning, MoR reconcile, file skipping all intact), and
+        Catalyst pushes the query's filters/projections into it like
+        any other relation.  ``version``/``asof`` pin time travel
+        (mutually exclusive); the view is a FROZEN snapshot — register
+        again (same name is replaced) to follow new commits.  DML
+        belongs to the typed API (merge_apply / delete_where /
+        update_where), not to strings — the reference's
+        SQL-by-string mutation path (fusion_tables_client.py:103-174)
+        is the documented anti-pattern this engine replaces."""
+        if version is not None and asof is not None:
+            raise ValueError("pass version OR asof, not both")
+        if asof is not None:
+            version = self.version_asof(asof)
+        self.read(version=version, **read_kwargs).createOrReplaceTempView(
+            name
+        )
+        return name
+
     def versions(self) -> list[int]:
         names = os.listdir(self._meta_dir())
         return sorted(

@@ -168,3 +168,30 @@ def test_version_asof_mtime_fallback_and_datetime(spark, tmp_path):
     assert t.version_asof(at + 1) == v
     # datetime input (naive = UTC)
     assert t.version_asof(dt.datetime.now(dt.timezone.utc)) == v
+
+
+def test_to_view_sql_composition(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [
+        (1, "insert", "a", 1.0), (2, "insert", "b", 2.0),
+    ]))
+    mid = _time.time()
+    merge_apply(t, _ev(spark, [(3, "update", "a", 9.0)]))
+    t.to_view("pages")
+    got = spark.sql("select k, v from pages order by k").collect()
+    assert [(r.k, r.v) for r in got] == [("a", 9.0), ("b", 2.0)]
+    # frozen snapshot semantics + time travel via asof
+    t.to_view("pages_mid", asof=mid)
+    got = spark.sql("select sum(v) as s from pages_mid").first().s
+    assert got == 3.0
+    # catalyst pushes query filters into the view's pruned plan
+    plan = spark.sql(
+        "select k from pages where k = 'a'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        t.to_view("x", version=2, asof=mid)
