@@ -556,6 +556,53 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (lake/scd.py): replay the log in two
+    epochs, then enrich one fact per (user, epoch-commit-time) with
+    the dimension row CURRENT at that instant — history reconstructed
+    as SCD2 validity intervals from the table's own commit stamps and
+    matched with the as-of join.  Oracle: the replay-equivalence
+    window evaluated per epoch prefix (probe 1 sees only epoch-1
+    events, probe 2 the full log) — label-leakage-free feature lookup,
+    value-checked."""
+    from realdeal_spark.lake.scd import enrich_asof
+
+    log = _change_log(spark, sf_dir).withColumn("last_op", F.col("op"))
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double, last_op string"
+    )
+    root = tempfile.mkdtemp(prefix="rds_scd_")
+    table = LakeTable.create(
+        spark, f"{root}/state", schema,
+        key_columns=["user_id"], order_columns=["ts", "event_id"],
+        n_buckets=8, soft_delete=True,
+    )
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    applier.apply_epoch(log, 0, mx // 2)
+    s1 = float(table.snapshot().summary["committed_at"])
+    applier.apply_epoch(log, mx // 2 + 1, mx)
+    s2 = float(table.snapshot().summary["committed_at"])
+    users = log.select("user_id").distinct()
+    facts = users.select(
+        "user_id", F.lit(1).alias("probe"), F.lit(s1).alias("fts")
+    ).unionByName(
+        users.select(
+            "user_id", F.lit(2).alias("probe"), F.lit(s2).alias("fts")
+        )
+    )
+    out = enrich_asof(
+        facts, table, on=["user_id"], fact_ts="fts",
+        cols=["event_type", "value"],
+    )
+    return out.select(
+        "user_id", "probe", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_cdc_suppress_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change suppression (streaming/suppress.py): per user in
     (ts, event_id) order, keep only events whose event_type differs
@@ -2617,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "cdc_ndv_rollup": q_cdc_ndv_rollup,
+        "cdc_enrich_asof": q_cdc_enrich_asof,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2697,6 +2745,32 @@ select event_type, count(*) as n_rows,
        count(distinct user_id % 97) as ndv_users,
        count(distinct cast(floor(value) as bigint) % 31) as ndv_values
 from final group by event_type
+""",
+        # point-in-time enrichment: probe 1 sees the table as of the
+        # epoch-1 commit (events with lsn <= max/2), probe 2 the full
+        # log; absent/deleted keys enrich as NULL
+        "cdc_enrich_asof": f"""
+with mx as (select max(event_id) // 2 as m from events),
+users as (select distinct user_id from events),
+r1 as (
+  select e.user_id, e.event_type, e.value, {_OP_SQL} as op,
+         row_number() over (partition by e.user_id
+                            order by e.ts desc, e.event_id desc) as rn
+  from events e, mx where e.event_id <= mx.m),
+s1 as (select user_id, event_type, round(value, 6) as value
+       from r1 where rn = 1 and op <> 'delete'),
+r2 as (
+  select user_id, event_type, value, {_OP_SQL} as op,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events),
+s2 as (select user_id, event_type, round(value, 6) as value
+       from r2 where rn = 1 and op <> 'delete')
+select u.user_id, 1 as probe, s.event_type, s.value
+from users u left join s1 s on u.user_id = s.user_id
+union all
+select u.user_id, 2 as probe, s.event_type, s.value
+from users u left join s2 s on u.user_id = s.user_id
 """,
         "cdc_find_new": """
 with h as (select max(event_id) // 10 as h from events)
