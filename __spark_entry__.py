@@ -603,6 +603,58 @@ def q_cdc_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained SCD2 history (lake/scd.py create_history_table /
+    advance_history / read_history_asof): replay the log in three
+    epochs, advance the history table O(changes) after each, then
+    serve "state as of" each epoch's commit instant from the history
+    ALONE (an interval filter — no log replay at serve time).  Oracle:
+    the replay-equivalence window evaluated per epoch prefix (probe i
+    sees only events with lsn ≤ cut i)."""
+    from realdeal_spark.lake.scd import (
+        advance_history,
+        create_history_table,
+        read_history_asof,
+    )
+
+    log = _change_log(spark, sf_dir)
+    ts_type = log.schema["ts"].dataType.simpleString()
+    schema = (
+        f"user_id bigint, ts {ts_type}, event_id bigint, "
+        "event_type string, value double"
+    )
+    root = tempfile.mkdtemp(prefix="rds_scd2_")
+    table = LakeTable.create(
+        spark, f"{root}/state", schema,
+        key_columns=["user_id"], order_columns=["ts", "event_id"],
+        n_buckets=8, soft_delete=True,
+    )
+    hist = create_history_table(table, f"{root}/hist")
+    applier = CdcApplier(table, lsn_col="event_id")
+    mx = int(log.agg(F.max("event_id")).first()[0])
+    cuts = [mx // 3, 2 * (mx // 3), mx]
+    stamps, lo = [], 0
+    for c in cuts:
+        applier.apply_epoch(log, lo, c)
+        lo = c + 1
+        advance_history(table, hist)
+        stamps.append(float(table.snapshot().summary["committed_at"]))
+    parts = [
+        read_history_asof(hist, s + 1e-4).select(
+            "user_id",
+            F.lit(i + 1).alias("probe"),
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        for i, s in enumerate(stamps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_cdc_suppress_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change suppression (streaming/suppress.py): per user in
     (ts, event_id) order, keep only events whose event_type differs
@@ -2665,6 +2717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "cdc_ndv_rollup": q_cdc_ndv_rollup,
         "cdc_enrich_asof": q_cdc_enrich_asof,
+        # round 5: the MAINTAINED SCD2 history table (advance per
+        # epoch through the changes feed; as-of serving is an interval
+        # filter, never a log replay)
+        "cdc_scd2_history": q_cdc_scd2_history,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -2771,6 +2827,39 @@ from users u left join s1 s on u.user_id = s.user_id
 union all
 select u.user_id, 2 as probe, s.event_type, s.value
 from users u left join s2 s on u.user_id = s.user_id
+""",
+        # maintained SCD2 history served as-of each epoch commit ==
+        # the replay window over that epoch's event prefix
+        "cdc_scd2_history": f"""
+with cuts as (select max(event_id) // 3 as c1,
+                     2 * (max(event_id) // 3) as c2
+              from events),
+r1 as (
+  select e.user_id, e.event_id, e.event_type, e.value, {_OP_SQL} as op,
+         row_number() over (partition by e.user_id
+                            order by e.ts desc, e.event_id desc) as rn
+  from events e, cuts where e.event_id <= cuts.c1),
+r2 as (
+  select e.user_id, e.event_id, e.event_type, e.value, {_OP_SQL} as op,
+         row_number() over (partition by e.user_id
+                            order by e.ts desc, e.event_id desc) as rn
+  from events e, cuts where e.event_id <= cuts.c2),
+r3 as (
+  select user_id, event_id, event_type, value, {_OP_SQL} as op,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events)
+select user_id, 1 as probe, event_id, event_type,
+       round(value, 6) as value
+from r1 where rn = 1 and op <> 'delete'
+union all
+select user_id, 2 as probe, event_id, event_type,
+       round(value, 6) as value
+from r2 where rn = 1 and op <> 'delete'
+union all
+select user_id, 3 as probe, event_id, event_type,
+       round(value, 6) as value
+from r3 where rn = 1 and op <> 'delete'
 """,
         "cdc_find_new": """
 with h as (select max(event_id) // 10 as h from events)

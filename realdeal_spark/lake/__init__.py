@@ -25,6 +25,14 @@ addressing is replaced by key-equality MERGE over bucketed files.
 from realdeal_spark.lake.table import CheckViolation, LakeTable
 from realdeal_spark.lake.merge import merge_apply
 from realdeal_spark.lake.dml import delete_where, update_where
+from realdeal_spark.lake.scd import (
+    advance_history,
+    create_history_table,
+    enrich_asof,
+    history_rows,
+    history_watermark,
+    read_history_asof,
+)
 from realdeal_spark.lake.inspect import (
     files_df,
     lineage_df,
@@ -37,6 +45,12 @@ from realdeal_spark.lake.inspect import (
 __all__ = [
     "CheckViolation",
     "LakeTable",
+    "advance_history",
+    "create_history_table",
+    "enrich_asof",
+    "history_rows",
+    "history_watermark",
+    "read_history_asof",
     "delete_where",
     "files_df",
     "lineage_df",

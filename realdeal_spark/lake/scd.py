@@ -37,8 +37,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from realdeal_spark.lake.merge import OP_COL, OP_UPDATE, MergeResult, merge_apply
 from realdeal_spark.lake.table import LakeTable
 from realdeal_spark.operators.asof import asof_join
+
+_EPOCH_PREFIX = "scd2:"
+_HIST_META = ["_live", "_valid_from", "_valid_to", "_commit_version", "_ord"]
+
+
+def _stamp(table: LakeTable, v: int) -> float:
+    at = table.snapshot(v).summary.get("committed_at")
+    if at is None:
+        import os
+
+        at = os.path.getmtime(table._snap_path(v))
+    return float(at)
 
 
 def history_rows(
@@ -60,12 +73,7 @@ def history_rows(
         raise ValueError("no retained versions in the requested range")
 
     def stamp(v: int) -> float:
-        at = table.snapshot(v).summary.get("committed_at")
-        if at is None:
-            import os
-
-            at = os.path.getmtime(table._snap_path(v))
-        return float(at)
+        return _stamp(table, v)
 
     key_cols = table.snapshot(vs[0]).key_columns
     parts = []
@@ -148,3 +156,181 @@ def enrich_asof(
         *facts.columns,
         *[F.when(live, F.col(c)).alias(c) for c in cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained SCD2 history: a second LakeTable kept current through the
+# changes feed, so serving "as of" queries never replays the whole
+# snapshot log (history_rows' UNION is O(retained versions) — fine for
+# a one-off reconstruction, wrong as a standing serving plan).
+# ---------------------------------------------------------------------------
+
+
+def create_history_table(
+    src: LakeTable,
+    root: str,
+    n_buckets: int | None = None,
+) -> LakeTable:
+    """Create the (empty) SCD2 history table for ``src``.
+
+    Schema = src's current columns + the five history columns; key =
+    (src keys, ``_commit_version``) — one row per row-version; order =
+    ``_ord`` (the src head version at write time, strictly increasing
+    across advances, so replayed/re-chopped intervals last-wins-
+    reconverge exactly like every other maintained surface).  The
+    bucket hash uses ONLY the src keys (``bucket_columns``), so a
+    key's full timeline — and the advance's close-the-current-row
+    lookup — prunes to one bucket.  History rows are never deleted,
+    only closed (``_valid_to`` set), so no tombstone is ever minted."""
+    snap = src.snapshot()
+    fields = src.read().schema.fields
+    clash = [f.name for f in fields if f.name in _HIST_META]
+    if clash:
+        raise ValueError(
+            f"source columns collide with history columns: {clash}"
+        )
+    ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + [
+            "_live boolean",
+            "_valid_from double",
+            "_valid_to double",
+            "_commit_version bigint",
+            "_ord bigint",
+        ]
+    )
+    return LakeTable.create(
+        src.spark,
+        root,
+        ddl,
+        key_columns=[*snap.key_columns, "_commit_version"],
+        order_columns=["_ord"],
+        n_buckets=n_buckets if n_buckets is not None else snap.n_buckets,
+        # merge_apply requires soft_delete; the maintainer never issues
+        # deletes (history rows are closed, not removed), so no
+        # tombstone is ever minted
+        soft_delete=True,
+        bucket_columns=list(snap.key_columns),
+    )
+
+
+def history_watermark(hist: LakeTable) -> int | None:
+    """Highest src version the history reflects, recovered from the
+    history table's own epoch ids (``scd2:<from>-<to>``) — in-band
+    replication state, no side checkpoint (the valueindex pattern)."""
+    hi: int | None = None
+    for eid in hist.snapshot().applied_epochs:
+        if eid.startswith(_EPOCH_PREFIX):
+            to_v = int(eid.rsplit("-", 1)[1])
+            hi = to_v if hi is None else max(hi, to_v)
+    return hi
+
+
+def advance_history(
+    src: LakeTable,
+    hist: LakeTable,
+    to_version: int | None = None,
+    mode: str = "cow",
+) -> MergeResult | None:
+    """Catch the history table up to ``to_version`` (default: src's
+    current version), exactly once per interval.
+
+    First advance bootstraps from :func:`history_rows` (one plan over
+    the retained feed).  Steady state is O(changes in the interval) +
+    one pruned read of the affected keys' CURRENT history rows: the
+    interval's net per-version changes become new open rows, and each
+    affected key's previously-current row is closed at the first new
+    row's ``_valid_from`` — both through one MERGE, so the advance
+    inherits the lake's exactly-once epoch guard and its invariant is
+    testable: ``hist.read()`` minus ``_ord`` row-equals
+    ``history_rows(src)`` after any advance schedule.
+
+    Granularity is src's RETAINED versions (identical to
+    ``history_rows`` — both consume the same feed), so expiring src
+    snapshots coarsens history for both representations equally; the
+    watermark version itself must still be retained (the standard
+    incremental-read constraint)."""
+    tv = int(to_version) if to_version is not None else src.current_version()
+    fv = history_watermark(hist)
+    # src schema evolution since create/last advance: mirror added
+    # columns onto the history table (field-id evolution, no rewrite)
+    hist_cols = set(hist.read().columns)
+    for f in src.read().schema.fields:
+        if f.name not in hist_cols:
+            hist.add_column(f.name, f.dataType.simpleString())
+    if fv is None:
+        epoch_v0 = src.versions()[0]
+        if tv <= epoch_v0:
+            return None
+        epoch_id = f"{_EPOCH_PREFIX}{epoch_v0}-{tv}"
+        if epoch_id in hist.snapshot().applied_epochs:
+            return None
+        events = (
+            history_rows(src, to_version=tv)
+            .withColumn("_ord", F.lit(int(tv)))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+        )
+        return merge_apply(hist, events, epoch_id=epoch_id, mode=mode)
+    if tv <= fv:
+        return None
+    epoch_id = f"{_EPOCH_PREFIX}{fv}-{tv}"
+    if epoch_id in hist.snapshot().applied_epochs:
+        return None
+    vs = [v for v in src.versions() if fv <= v <= tv]
+    if not vs or vs[0] != fv:
+        raise ValueError(
+            f"history watermark v{fv} is no longer a retained src "
+            "version — the incremental feed over it is gone; rebuild "
+            "the history table (or expire src snapshots no faster "
+            "than the maintainer advances)"
+        )
+    keys = src.snapshot().key_columns
+    parts = []
+    for prev, cur in zip(vs, vs[1:]):
+        ch = src.read_changes(prev, cur)
+        parts.append(
+            ch.withColumn("_live", F.col("change_type") != "delete")
+            .drop("change_type")
+            .withColumn("_valid_from", F.lit(_stamp(src, cur)))
+            .withColumn("_commit_version", F.lit(cur))
+        )
+    new = parts[0]
+    for p in parts[1:]:
+        new = new.unionByName(p, allowMissingColumns=True)
+    # each affected key's current row gets re-opened into the closure
+    # window; the MERGE's own bucket pruning bounds the rewrite and
+    # this read to the buckets the changed keys hash into
+    changed = new.select(*keys).distinct()
+    prev_cur = (
+        hist.read()
+        .join(changed, on=keys, how="left_semi")
+        .where(F.col("_valid_to").isNull())
+        .drop("_valid_to", "_ord")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version"))
+    events = (
+        prev_cur.unionByName(new, allowMissingColumns=True)
+        .withColumn("_valid_to", F.lead("_valid_from").over(w))
+        .withColumn("_ord", F.lit(int(tv)))
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+    )
+    return merge_apply(hist, events, epoch_id=epoch_id, mode=mode)
+
+
+def read_history_asof(
+    hist: LakeTable, at: float, live_only: bool = True
+) -> DataFrame:
+    """Serve "state as of wall-clock ``at``" from the maintained
+    history alone: the interval containing ``at`` per key — a filter,
+    not a log replay (``_valid_from <= at < coalesce(_valid_to, inf)``
+    is file-skippable on the min/max stats of ``_valid_from``)."""
+    rows = hist.read().where(
+        (F.col("_valid_from") <= F.lit(float(at)))
+        & (
+            F.col("_valid_to").isNull()
+            | (F.col("_valid_to") > F.lit(float(at)))
+        )
+    )
+    if live_only:
+        rows = rows.where(F.col("_live"))
+    return rows.drop("_ord")

@@ -3,6 +3,7 @@ from realdeal_spark.streaming.cdf_source import (
     foreach_changes,
     register_lake_changes,
     stream_changes,
+    stream_maintain_history,
     stream_maintain_ivf,
     stream_maintain_rollup,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "session_rollup",
     "stream_changes",
     "stream_enrich",
+    "stream_maintain_history",
     "stream_maintain_ivf",
     "stream_maintain_rollup",
     "suppress_unchanged",

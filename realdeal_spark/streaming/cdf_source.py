@@ -300,3 +300,40 @@ def stream_maintain_ivf(
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
     )
+
+
+def stream_maintain_history(
+    src,
+    hist,
+    checkpoint_dir: str,
+    max_versions_per_trigger: int | None = None,
+    trigger: dict | None = None,
+):
+    """Keep an SCD2 history table (:func:`~realdeal_spark.lake.scd.
+    create_history_table`) continuously current: one O(changes)
+    advance per src commit.
+
+    Idempotent per interval through the history table's own epoch
+    guard (``scd2:<from>-<to>``), so exactly-once composes from
+    Spark's offset checkpoint alone.  An empty history bootstraps
+    synchronously before the stream starts (the descriptor source
+    needs a concrete starting version)."""
+    from realdeal_spark.lake.scd import advance_history, history_watermark
+
+    wm = history_watermark(hist)
+    if wm is None:
+        advance_history(src, hist)
+        wm = history_watermark(hist)
+    start = wm if wm is not None else src.current_version()
+
+    def _advance(changes_df: DataFrame, fv: int, tv: int) -> None:
+        advance_history(src, hist, to_version=tv)
+
+    return foreach_changes(
+        src,
+        _advance,
+        checkpoint_dir,
+        starting_version=start,
+        max_versions_per_trigger=max_versions_per_trigger,
+        trigger=trigger,
+    )

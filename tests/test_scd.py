@@ -147,3 +147,114 @@ def test_history_rows_after_expire_and_evolution(spark, table3):
     assert hist2.where("k='a'").count() <= 2
     cur = hist2.where("k='a' and _valid_to is null").first()
     assert cur["v"] == 20.0 and cur["lang"] == "de"
+
+
+# ---------------------------------------------------------------------------
+# Maintained history (create_history_table / advance_history)
+# ---------------------------------------------------------------------------
+
+from realdeal_spark.lake.scd import (  # noqa: E402
+    advance_history,
+    create_history_table,
+    history_watermark,
+    read_history_asof,
+)
+
+
+def _hist_set(df):
+    cols = sorted(c for c in df.columns if c != "_ord")
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    return sorted(
+        rows, key=lambda t: tuple((v is None, v) for v in t)
+    )
+
+
+def test_advance_history_per_epoch_matches_history_rows(spark, table3, tmp_path):
+    t = table3
+    h = create_history_table(t, str(tmp_path / "h"))
+    vs = t.versions()
+    # bootstrap to the first data version, then advance epoch by epoch
+    assert advance_history(t, h, to_version=vs[1]) is not None
+    assert history_watermark(h) == vs[1]
+    for v in vs[2:]:
+        assert advance_history(t, h, to_version=v) is not None
+    assert history_watermark(h) == vs[-1]
+    assert _hist_set(h.read()) == _hist_set(history_rows(t))
+    # replayed interval: epoch guard no-ops
+    assert advance_history(t, h, to_version=vs[-1]) is None
+
+
+def test_advance_history_one_shot_and_rechop_converge(spark, table3, tmp_path):
+    t = table3
+    want = _hist_set(history_rows(t))
+    # one multi-version advance (bootstrap straight to head)
+    h1 = create_history_table(t, str(tmp_path / "h1"))
+    advance_history(t, h1)
+    assert _hist_set(h1.read()) == want
+    # bootstrap to v2 then one advance spanning v3..v4 (steady-state
+    # multi-pair interval)
+    vs = t.versions()
+    h2 = create_history_table(t, str(tmp_path / "h2"))
+    advance_history(t, h2, to_version=vs[1])
+    advance_history(t, h2)
+    assert _hist_set(h2.read()) == want
+
+
+def test_advance_history_mor_and_asof_serving(spark, table3, tmp_path):
+    t = table3
+    h = create_history_table(t, str(tmp_path / "h"))
+    vs = t.versions()
+    advance_history(t, h, to_version=vs[1], mode="mor")
+    for v in vs[2:]:
+        advance_history(t, h, to_version=v, mode="mor")
+    assert _hist_set(h.read()) == _hist_set(history_rows(t))
+    # read_history_asof == read_asof at every commit stamp + epsilon
+    for v in vs[1:]:
+        at = t.snapshot(v).summary["committed_at"] + 0.001
+        want = sorted(
+            (r["k"], r["v"]) for r in t.read_asof(at).collect()
+        )
+        got = sorted(
+            (r["k"], r["v"])
+            for r in read_history_asof(h, at).collect()
+        )
+        assert got == want, v
+
+
+def test_advance_history_schema_evolution_and_expiry(spark, table3, tmp_path):
+    t = table3
+    h = create_history_table(t, str(tmp_path / "h"))
+    advance_history(t, h)
+    t.add_column("lang", "string")
+    merge_apply(t, _ev(spark, [(6, "update", "a", 20.0)]).withColumn(
+        "lang", F.lit("de")
+    ))
+    advance_history(t, h)
+    assert _hist_set(h.read()) == _hist_set(history_rows(t))
+    cur = h.read().where("k='a' and _valid_to is null").first()
+    assert cur["v"] == 20.0 and cur["lang"] == "de"
+    # expire the watermark version out of src: advance must refuse
+    merge_apply(t, _ev(spark, [(7, "update", "c", 30.0)]).withColumn(
+        "lang", F.lit(None).cast("string")
+    ))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no longer a retained"):
+        advance_history(t, h)
+
+
+def test_history_collision_and_empty_guard(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA + ", _live boolean",
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=4, soft_delete=True,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        create_history_table(t, str(tmp_path / "h"))
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), SCHEMA,
+        key_columns=["k"], order_columns=["ts", "lsn"],
+        n_buckets=4, soft_delete=True,
+    )
+    h = create_history_table(t2, str(tmp_path / "h2"))
+    assert advance_history(t2, h) is None  # nothing past create
+    assert history_watermark(h) is None
