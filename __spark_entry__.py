@@ -1742,6 +1742,65 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(c, "text", "doc_id", num_perm=16, bands=4, shingle_n=3)
 
 
+_REVISED_SUFFIX = " revised revision marker"
+
+
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained near-dup index (lake/dedupidx.py): ingest the
+    doubled corpus in two epochs (evens, then odds + a rewrite of
+    every doc_id % 20 == 0), advancing the LSH index O(changes) after
+    each — the rewrite must RETIRE the old text's band entries — then
+    probe epoch-2's changed documents against the index.  Oracle: the
+    batch LSH self-join over the FINAL corpus state, restricted to
+    pairs touching the probe set; any ghost (unretired) band entry
+    would surface extra pairs and hash-mismatch."""
+    from realdeal_spark.lake.dedupidx import (
+        advance_dedup_index,
+        create_dedup_index,
+        neardup_probe,
+    )
+    from realdeal_spark.lake.merge import merge_apply
+
+    c = _doubled_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rds_didx_")
+    table = LakeTable.create(
+        spark, f"{root}/docs", "doc_id bigint, lsn bigint, text string",
+        key_columns=["doc_id"], order_columns=["lsn"],
+        n_buckets=8, soft_delete=True,
+    )
+    idx = create_dedup_index(table, f"{root}/idx", n_buckets=16)
+    e1 = c.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(1).alias("lsn"), "text",
+        F.lit("insert").alias("op"),
+    )
+    merge_apply(table, e1, epoch_id="docs-e1")
+    advance_dedup_index(table, idx)  # bootstrap
+    e2 = (
+        c.where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id", F.lit(2).alias("lsn"), "text",
+            F.lit("insert").alias("op"),
+        )
+        .unionByName(
+            c.where(F.col("doc_id") % 20 == 0).select(
+                "doc_id", F.lit(2).alias("lsn"),
+                F.concat(F.col("text"), F.lit(_REVISED_SUFFIX)).alias("text"),
+                F.lit("update").alias("op"),
+            )
+        )
+    )
+    merge_apply(table, e2, epoch_id="docs-e2")
+    advance_dedup_index(table, idx)  # incremental, with retirement
+    probe = table.read().where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 20 == 0)
+    )
+    pairs = neardup_probe(idx, probe, "text", "doc_id")
+    return pairs.select(
+        F.least("probe_id", "match_id").alias("id_a"),
+        F.greatest("probe_id", "match_id").alias("id_b"),
+    ).distinct()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_frame(d, "text", "doc_id", bits=16)
@@ -2192,7 +2251,13 @@ def _shingle_sql(n: int = 3) -> str:
 _H48 = "('0x' || substr(md5({x}), 1, 12))::bigint"
 
 
-def _minhash_sql(num_perm: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_sql(
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    corpus_sql: str | None = None,
+    pair_where: str = "",
+) -> str:
     rows_per_band = num_perm // bands
     h = _H48.format(x="s")
     sig_cols = []
@@ -2210,7 +2275,7 @@ def _minhash_sql(num_perm: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
             "from sigs"
         )
     return f"""
-with corpus as ({_DOUBLED_SQL}),
+with corpus as ({corpus_sql or _DOUBLED_SQL}),
 hashed as (
   select doc_id as _id,
          list_transform({_shingle_sql(shingle_n)}, s -> {h}) as hs
@@ -2220,6 +2285,7 @@ banded as ({' union all '.join(band_selects)})
 select distinct l._id as id_a, r._id as id_b
 from banded l join banded r
   on l.band = r.band and l.bh = r.bh and l._id < r._id
+{pair_where}
 """
 
 
@@ -2721,6 +2787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch through the changes feed; as-of serving is an interval
         # filter, never a log replay)
         "cdc_scd2_history": q_cdc_scd2_history,
+        # round 5: the CDC-maintained near-dup LSH index — new-batch
+        # dedup probes cost O(batch), never O(corpus)
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -3138,6 +3207,20 @@ select doc_id, lang, cast(tc as int) as n_tokens, quality, fingerprint
 from ranked where rn = 1
 """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 3),
+        # maintained-index probe == batch LSH over the final corpus
+        # state, pairs touching the epoch-2 probe set only
+        "dedup_incremental_lsh": _minhash_sql(
+            16, 4, 3,
+            corpus_sql=(
+                "select doc_id, case when doc_id % 20 = 0 then "
+                f"text || '{_REVISED_SUFFIX}' else text end as text "
+                f"from ({_DOUBLED_SQL})"
+            ),
+            pair_where=(
+                "where l._id % 2 = 1 or r._id % 2 = 1 "
+                "or l._id % 20 = 0 or r._id % 20 = 0"
+            ),
+        ),
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _jaccard_sql(3, 0.8, max_df=20),
         "dedup_clusters": _cluster_sql(3, 0.8, max_df=20),

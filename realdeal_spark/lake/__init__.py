@@ -25,6 +25,12 @@ addressing is replaced by key-equality MERGE over bucketed files.
 from realdeal_spark.lake.table import CheckViolation, LakeTable
 from realdeal_spark.lake.merge import merge_apply
 from realdeal_spark.lake.dml import delete_where, update_where
+from realdeal_spark.lake.dedupidx import (
+    advance_dedup_index,
+    create_dedup_index,
+    dedup_index_watermark,
+    neardup_probe,
+)
 from realdeal_spark.lake.scd import (
     advance_history,
     create_history_table,
@@ -45,7 +51,11 @@ from realdeal_spark.lake.inspect import (
 __all__ = [
     "CheckViolation",
     "LakeTable",
+    "advance_dedup_index",
     "advance_history",
+    "create_dedup_index",
+    "dedup_index_watermark",
+    "neardup_probe",
     "create_history_table",
     "enrich_asof",
     "history_rows",

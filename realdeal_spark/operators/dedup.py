@@ -199,6 +199,50 @@ def _banded_minhash_arrow(
     )
 
 
+def banded_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The banded-LSH frame: one ``(_id, band, bh)`` row per document
+    per band, where ``bh`` = md5 of the band's sub-signature values.
+
+    This is the candidate-generation key both for the batch self-join
+    (:func:`minhash_lsh_pairs`) and for the CDC-maintained dedup
+    index (lake/dedupidx.py), so both stay bit-identical to the same
+    DuckDB oracle.  Arrow fast path for ids that round-trip pandas
+    losslessly; pure-Catalyst expression path otherwise.
+    """
+    arrow_ok = df.schema[id_col].dataType.simpleString() in {
+        "tinyint", "smallint", "int", "bigint", "string"
+    }
+    if use_arrow and arrow_ok:
+        return _banded_minhash_arrow(
+            df, text_col, id_col, num_perm, bands, shingle_n
+        )
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    band_vals.getItem(i).cast("string")
+                    for i in range(rows_per_band)
+                ])).alias("bh"),
+            )
+        )
+    return with_sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("_id", "b.band", "b.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -218,34 +262,9 @@ def minhash_lsh_pairs(
     join sides share one signature computation.
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
-    # Arrow path only for id types that round-trip pandas losslessly;
-    # anything exotic (decimal, struct) falls back to the expression
-    # path, which keeps the source column type end-to-end.
-    arrow_ok = df.schema[id_col].dataType.simpleString() in {
-        "tinyint", "smallint", "int", "bigint", "string"
-    }
-    if use_arrow and arrow_ok:
-        banded = _banded_minhash_arrow(
-            df, text_col, id_col, num_perm, bands, shingle_n
-        )
-    else:
-        rows_per_band = num_perm // bands
-        with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-        band_cols = []
-        for b in range(bands):
-            band_vals = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[
-                        band_vals.getItem(i).cast("string")
-                        for i in range(rows_per_band)
-                    ])).alias("bh"),
-                )
-            )
-        banded = with_sig.select(
-            "_id", F.explode(F.array(*band_cols)).alias("b")
-        ).select("_id", "b.band", "b.bh")
+    banded = banded_minhash(
+        df, text_col, id_col, num_perm, bands, shingle_n, use_arrow
+    )
     # localCheckpoint (eager): both self-join sides read one
     # materialization (~50B/doc/band), and — unlike .persist(), which
     # stays in the CacheManager until an explicit unpersist — the

@@ -3,6 +3,7 @@ from realdeal_spark.streaming.cdf_source import (
     foreach_changes,
     register_lake_changes,
     stream_changes,
+    stream_maintain_dedup_index,
     stream_maintain_history,
     stream_maintain_ivf,
     stream_maintain_rollup,
@@ -21,6 +22,7 @@ __all__ = [
     "session_rollup",
     "stream_changes",
     "stream_enrich",
+    "stream_maintain_dedup_index",
     "stream_maintain_history",
     "stream_maintain_ivf",
     "stream_maintain_rollup",

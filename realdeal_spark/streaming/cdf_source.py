@@ -302,6 +302,54 @@ def stream_maintain_ivf(
     )
 
 
+def stream_maintain_dedup_index(
+    src,
+    idx,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_versions_per_trigger: int | None = None,
+    trigger: dict | None = None,
+):
+    """Keep a near-dup LSH index (:func:`~realdeal_spark.lake.dedupidx.
+    create_dedup_index`) continuously current: one O(changes) advance
+    per base commit, so every newly-ingested document is probe-able
+    against the corpus one trigger later.
+
+    Idempotent per interval through the index's own epoch guard
+    (``dedupidx:<from>-<to>``); exactly-once composes from Spark's
+    offset checkpoint alone.  An empty index bootstraps synchronously
+    before the stream starts."""
+    from realdeal_spark.lake.dedupidx import (
+        advance_dedup_index,
+        dedup_index_watermark,
+    )
+
+    params = dict(
+        text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n,
+    )
+    wm = dedup_index_watermark(idx)
+    if wm is None:
+        advance_dedup_index(src, idx, **params)
+        wm = dedup_index_watermark(idx)
+    start = wm if wm is not None else src.current_version()
+
+    def _advance(changes_df: DataFrame, fv: int, tv: int) -> None:
+        advance_dedup_index(src, idx, to_version=tv, **params)
+
+    return foreach_changes(
+        src,
+        _advance,
+        checkpoint_dir,
+        starting_version=start,
+        max_versions_per_trigger=max_versions_per_trigger,
+        trigger=trigger,
+    )
+
+
 def stream_maintain_history(
     src,
     hist,
