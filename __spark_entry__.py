@@ -1988,6 +1988,34 @@ def q_curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (extract/chunking.py): pure
+    array expressions — split → filtered start sequence → slice per
+    start; no token explode, no shuffle, no UDF.  Oracle replays the
+    identical window math with DuckDB list functions."""
+    from realdeal_spark.extract.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", max_tokens=32, overlap=4)
+
+
+def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing (extract/chunking.py):
+    chunks laid on one global token tape in deterministic hash order
+    and cut every seq_len tokens — zero padding, boundary-spanning
+    chunks split across sequences.  The global offset is the
+    distributed range-bucket prefix sum (no single-reducer sort);
+    oracle = the same cumsum window + span explosion in DuckDB."""
+    from realdeal_spark.extract.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "text", "doc_id", max_tokens=32, overlap=4)
+    return pack_sequences(chunks, 64)
+
+
 def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sampling (operators/sampling.py): fill each
     language up to 2000 TOKENS (the unit training runs specify) in
@@ -2790,6 +2818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: the CDC-maintained near-dup LSH index — new-batch
         # dedup probes cost O(batch), never O(corpus)
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        # round 5: chunking + training-sequence packing (the pipeline
+        # last mile; packing rides the skew-safe prefix-sum machinery)
+        "text_chunk": q_text_chunk,
+        "curate_pack_sequences": q_curate_pack_sequences,
         # curate_token_budget demoted round 4 for lake_predicate_dml:
         # its two-phase machinery stays prefix-covered through
         # curate_sample_stratified (same skew-guarded rank path).
@@ -3399,6 +3431,56 @@ c as (
     rows between unbounded preceding and current row) as cum
   from tk)
 select doc_id, lang, n_tokens from c where cum <= 2000
+""",
+        # sliding-window chunking replayed with DuckDB list functions:
+        # same normalized tokens, same filtered start sequence, same
+        # slice bounds (list_transform's 2-arg lambda supplies the
+        # 1-based ordinal → chunk_idx)
+        "text_chunk": f"""
+with t as (select doc_id, {_TOKS_SQL} as tk from documents),
+n as (select doc_id, tk, cast(len(tk) as bigint) as n
+      from t where len(tk) > 0),
+s as (select doc_id, tk, n,
+             unnest(list_transform(
+               list_filter(generate_series(0, n - 1, 28),
+                           x -> x = 0 or x < n - 4),
+               (x, i) -> {{'st': x, 'ix': i}})) as u
+      from n)
+select doc_id,
+       cast(u.ix - 1 as int) as chunk_idx,
+       array_to_string(tk[u.st + 1 : u.st + 32], ' ') as chunk_text,
+       cast(least(32, n - u.st) as int) as n_tokens
+from s
+""",
+        # GPT-style packing: cumsum window in (md5 hash, doc, chunk)
+        # order over the same chunk CTE, span explosion per seq_len
+        # boundary crossed
+        "curate_pack_sequences": f"""
+with t as (select doc_id, {_TOKS_SQL} as tk from documents),
+n as (select doc_id, tk, cast(len(tk) as bigint) as n
+      from t where len(tk) > 0),
+ck as (select doc_id,
+              cast(u.ix - 1 as int) as chunk_idx,
+              cast(least(32, n - u.st) as bigint) as n_tokens
+       from (select doc_id, tk, n,
+                    unnest(list_transform(
+                      list_filter(generate_series(0, n - 1, 28),
+                                  x -> x = 0 or x < n - 4),
+                      (x, i) -> {{'st': x, 'ix': i}})) as u
+             from n)),
+c as (select *, cast(sum(n_tokens) over (
+        order by ('0x' || substr(md5('pack-v1' || cast(doc_id as varchar)), 1, 15))::bigint
+                 % 1000000 asc, doc_id asc, chunk_idx asc
+        rows between unbounded preceding and current row) as bigint) as en
+      from ck),
+s as (select *, en - n_tokens as st from c),
+e as (select s.*, unnest(generate_series(st // 64, (en - 1) // 64)) as seq_id
+      from s)
+select cast(seq_id as bigint) as seq_id, doc_id, chunk_idx,
+       cast(greatest(st - seq_id * 64, 0) as int) as tok_start,
+       cast(least(en - seq_id * 64, 64) as int) as tok_end,
+       cast(greatest(seq_id * 64 - st, 0) as int) as chunk_off
+from e
 """,
         "knn_brute_force": _knn_sql(5, bucketed=False),
         "knn_lsh_bucketed": _knn_sql(5, bucketed=True),

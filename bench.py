@@ -94,6 +94,11 @@ HEADLINE = HEADLINE_R1 + [
     "rel_asof_join",
     "rel_range_join",
     "cdc_ndv_rollup",
+    # late round-5 additions: the maintained SCD2 history (3-epoch
+    # ingest + interval-filter serving) and the CDC-maintained LSH
+    # dedup index (2-epoch ingest + O(batch) probe)
+    "cdc_scd2_history",
+    "dedup_incremental_lsh",
 ]
 
 

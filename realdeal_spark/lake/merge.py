@@ -527,12 +527,14 @@ def _merge_apply_mor(
             "coalesce patch needs the target's full values — use the "
             "cow path for partial updates"
         )
+    mark = _phase_timer()
     snap = table.snapshot()
     _, data_cols, key_cols, order_cols, src = _prep_source(table, snap, source)
 
     src, check_obs = _observe_checks(src, snap.checks)
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in src.select(_BUCKET_COL).distinct().collect())
+    mark("mor.prep")
     if not touched:
         src.unpersist()
         return _empty_batch_result(table, snap, epoch_id, extra_summary)
@@ -560,6 +562,7 @@ def _merge_apply_mor(
             _, bloom_allow, bloom_stats, _ = table._lookup_candidates(
                 snap, src.select(*key_cols)
             )
+            mark("mor.bloom_probe")
         # narrow current state of the touched buckets (reconciled
         # across any earlier MoR deltas; parquet reads only these
         # columns thanks to column pruning through read()'s projection)
@@ -649,6 +652,7 @@ def _merge_apply_mor(
             .localCheckpoint(eager=True)
         )
         n_winners = winner_keys.count()
+        mark("mor.classify")
         try:
             m = {k: int(v or 0) for k, v in obs.get.items()}
         except Exception:
@@ -726,6 +730,7 @@ def _merge_apply_mor(
             new_files = table._write_delta(
                 winners, new_version, snap.current_schema, mor=True
             )
+            mark("mor.write_delta")
         result.rewritten_buckets = sorted(int(b) for b in new_files)
         summary = {
             "inserted": result.inserted,
@@ -743,6 +748,7 @@ def _merge_apply_mor(
         result.snapshot = table.commit_file_additions(
             snap, new_version, new_files, summary=summary, epoch_id=epoch_id
         )
+        mark("mor.commit")
         return result
     finally:
         src.unpersist()

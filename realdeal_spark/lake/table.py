@@ -1113,7 +1113,9 @@ class LakeTable:
                 old_by_sv.setdefault(fe["schema_version"], []).append(
                     os.path.join(self.root, fe["path"])
                 )
-        if old_by_sv:
+        if old_by_sv and not self._interval_additive(
+            from_snap.version, to_snap.version
+        ):
             olds = [
                 self._read_aligned(to_snap, cur, sv_id, paths).select(
                     *keys, *orders
@@ -1148,6 +1150,37 @@ class LakeTable:
             .withColumn("change_type", F.lit("update_preimage"))
         )
         return out.unionByName(pre)
+
+    #: commit operations that only ADD rows that are net changes (or
+    #: touch no data files at all) — they cannot write a carried copy
+    #: of a row that already existed, so an interval composed solely
+    #: of them needs no carryover anti-join against the old snapshot.
+    #: Rewrite commits (cow "merge", "compact", "rebucket",
+    #: "publish-staged", anything unknown) fall back to the join.
+    _ADDITIVE_OPS = frozenset(
+        {"merge-mor", "append", "create", "add-check", "drop-check",
+         "set-key-blooms"}
+    )
+    _ADDITIVE_OP_PREFIXES = ("add_column", "rename_column", "widen_column")
+
+    def _interval_additive(self, from_v: int, to_v: int) -> bool:
+        """True iff every commit in ``(from_v, to_v]`` is additive —
+        the changes-feed reconstruction then skips its old-snapshot
+        carryover anti-join (a narrow but O(table) scan).  Steady-state
+        MoR ingest intervals are all ``merge-mor``, so the feed over
+        them is O(changes) end-to-end even without write-time capture.
+        Metadata is one summary read per version; any unreadable or
+        unrecognized commit conservatively keeps the join."""
+        for v in range(from_v + 1, to_v + 1):
+            try:
+                op = str(self.snapshot(v).summary.get("operation", ""))
+            except FileNotFoundError:
+                return False
+            if op in self._ADDITIVE_OPS:
+                continue
+            if not op.startswith(self._ADDITIVE_OP_PREFIXES):
+                return False
+        return True
 
     def _capture_chain(
         self, from_v: int, to_v: int
@@ -1274,11 +1307,23 @@ class LakeTable:
                 ).cast("int").alias("b")
             ).distinct().collect()
         }
+        # key-bloomed old snapshot: tighten the bucket pruning to the
+        # per-file sidecar level — an insert-heavy epoch's changed keys
+        # mostly did not exist at from_version, so the bloom-positive
+        # file set (no false negatives: every file holding a changed
+        # key survives) is far smaller than the touched buckets
+        allow: set[str] | None = None
+        if from_snap.key_blooms:
+            _, allow, _, _ = self._lookup_candidates(
+                from_snap, changed_keys
+            )
         pre_by_sv: dict[int, list[str]] = {}
         for bucket, fl in from_snap.files.items():
             if int(bucket) not in bkts:
                 continue
             for fe in fl:
+                if allow is not None and fe["path"] not in allow:
+                    continue
                 pre_by_sv.setdefault(fe["schema_version"], []).append(
                     os.path.join(self.root, fe["path"])
                 )

@@ -91,6 +91,7 @@ def _with_stratum_prefix(
     skew_buckets: int,
     val_col: str | None = None,
     carry_lt: int | None = None,
+    order_tail: list[str] | None = None,
 ) -> DataFrame:
     """Attach ``_prefix``: the exact per-stratum prefix aggregate in
     hash order — row count up to and including this row when
@@ -116,7 +117,11 @@ def _with_stratum_prefix(
     dropped map-side and never enter the window shuffle — the shuffle
     then moves only ~cut + one bucket's rows per stratum."""
     hb = _hash_bucket(F.col(id_col), salt)
-    order = [hb, F.col(id_col)]
+    # order_tail extends the total order below the id for callers
+    # whose rows are finer-grained than the hashed id (sequence
+    # packing orders a document's chunks by chunk index, keeping them
+    # adjacent under the document's hash position)
+    order = [hb, F.col(id_col), *[F.col(c) for c in (order_tail or [])]]
 
     def within(w):
         # row_number ≡ count(*) over the running rows frame under a

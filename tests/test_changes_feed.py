@@ -237,3 +237,89 @@ def test_changes_legacy_delta_dirs_still_rank_generations(spark, tmp_path):
     assert {r["url"]: (r["lsn"], r["change_type"]) for r in feed} == {
         "u3": (100, "upsert")
     }
+
+
+def test_interval_additive_detection_and_skip_equivalence(spark, tmp_path):
+    """Pure merge-mor (+ metadata-only) intervals are detected as
+    additive — the reconstruction then skips the old-snapshot
+    carryover anti-join — and MUST yield the identical feed an
+    equivalent rewrite-bearing interval yields through the join."""
+    t = _mk_table(spark, tmp_path, n_buckets=2)
+    merge_apply(
+        t,
+        _events_df(spark, [(1, "insert", "a", 10, "A1"), (2, "insert", "b", 11, "B1")]),
+        mode="mor",
+    )
+    v1 = t.current_version()
+    merge_apply(
+        t,
+        _events_df(spark, [(3, "update", "a", 20, "A2"), (4, "delete", "b", 21, None)]),
+        mode="mor",
+    )
+    t.add_check("lsn_nonneg", "lsn >= 0")
+    merge_apply(t, _events_df(spark, [(5, "insert", "c", 30, "C1")]), mode="mor")
+    assert t._interval_additive(v1, t.current_version())
+    feed_skip = _feed(t, v1)
+    # same logical epochs through the CoW path (rewrites → join path)
+    s2 = tmp_path / "cow"; s2.mkdir()
+    t2 = _mk_table(spark, s2, n_buckets=2)
+    merge_apply(
+        t2,
+        _events_df(spark, [(1, "insert", "a", 10, "A1"), (2, "insert", "b", 11, "B1")]),
+    )
+    v1b = t2.current_version()
+    merge_apply(
+        t2,
+        _events_df(spark, [(3, "update", "a", 20, "A2"), (4, "delete", "b", 21, None)]),
+    )
+    merge_apply(t2, _events_df(spark, [(5, "insert", "c", 30, "C1")]))
+    assert not t2._interval_additive(v1b, t2.current_version())
+    assert feed_skip == _feed(t2, v1b)
+    assert feed_skip == {"a": (3, "upsert"), "b": (4, "delete"), "c": (5, "upsert")}
+    # a compaction inside the interval disables the skip
+    t.compact(max_files_per_bucket=1)
+    assert not t._interval_additive(v1, t.current_version())
+    assert _feed(t, v1) == feed_skip  # join path still nets correctly
+
+
+def test_preimage_bloom_pruning_equivalence(spark, tmp_path):
+    """With key_blooms on the base, the pre-image read prunes to the
+    bloom-positive files of the changed keys; the emitted pre-images
+    must be byte-identical to the unbloomed table's."""
+    def _pre(table, v_from):
+        return {
+            r["url"]: (r["lsn"], bytes(r["html"]).decode())
+            for r in table.read_changes(v_from, include_preimage=True)
+            .where("change_type = 'update_preimage'")
+            .collect()
+        }
+
+    feeds = {}
+    for name, blooms in [("plain", False), ("bloomed", True)]:
+        d = tmp_path / name
+        d.mkdir()
+        t = _mk_table(spark, d, n_buckets=2)
+        if blooms:
+            t.set_key_blooms(True)
+        merge_apply(
+            t,
+            _events_df(
+                spark,
+                [(1, "insert", "a", 10, "A1"), (2, "insert", "b", 11, "B1"),
+                 (3, "insert", "d", 12, "D1")],
+            ),
+            mode="mor",
+        )
+        v1 = t.current_version()
+        merge_apply(
+            t,
+            _events_df(
+                spark,
+                [(4, "update", "a", 20, "A2"), (5, "delete", "b", 21, None),
+                 (6, "insert", "c", 22, "C1")],
+            ),
+            mode="mor",
+        )
+        feeds[name] = _pre(t, v1)
+    assert feeds["bloomed"] == feeds["plain"]
+    assert set(feeds["plain"]) == {"a", "b"}  # inserts have no pre-image
