@@ -247,3 +247,54 @@ def test_ivf_knn_candidate_join_is_equi_and_assignment_shuffle_free(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # query side broadcast, equi on list_id
+
+
+def test_chunking_is_shuffle_free_and_packing_window_is_bucketed(spark):
+    """chunk_documents must plan with no Exchange (pure map-side array
+    exprs); pack_sequences' heavy cumsum window must partition by the
+    range bucket, never run as one global window."""
+    from realdeal_spark.extract.chunking import chunk_documents, pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(d, "text", "doc_id", max_tokens=16, overlap=2)
+    assert "Exchange" not in plan(chunks)
+    p = plan(pack_sequences(chunks, 64, skew_buckets=32))
+    # the running-sum window partitions by (bucket); only the
+    # carry-in window (over the <=32-row bucket table) is global
+    assert "partitionBy" not in p  # formatted plans spell it differently
+    assert "_rb" in p and "Window" in p
+
+
+def test_neardup_probe_is_equi_join_not_cartesian(spark, tmp_path):
+    """The maintained dedup index probe must candidate-join on
+    (band, bh) as a hash equi-join — never a nested-loop/cartesian."""
+    from realdeal_spark.lake import LakeTable, merge_apply
+    from realdeal_spark.lake.dedupidx import (
+        advance_dedup_index,
+        create_dedup_index,
+        neardup_probe,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "docs"),
+        "doc_id bigint, lsn bigint, text string",
+        key_columns=["doc_id"], order_columns=["lsn"],
+        n_buckets=4, soft_delete=True,
+    )
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("lsn"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"), ((F.col("id") + i) % 7).cast("string"))
+            for i in range(8)
+        ]).alias("text"),
+        F.lit("insert").alias("op"),
+    )
+    merge_apply(t, docs)
+    idx = create_dedup_index(t, str(tmp_path / "idx"), n_buckets=8)
+    advance_dedup_index(t, idx, num_perm=8, bands=4, shingle_n=2)
+    probe = neardup_probe(
+        idx, docs.select("doc_id", "text"), "text", "doc_id",
+        num_perm=8, bands=4, shingle_n=2,
+    )
+    p = plan(probe)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
