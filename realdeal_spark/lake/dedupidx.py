@@ -39,6 +39,7 @@ from realdeal_spark.lake.merge import (
     OP_DELETE,
     OP_UPDATE,
     MergeResult,
+    _phase_timer,
     merge_apply,
 )
 from realdeal_spark.lake.table import LakeTable
@@ -170,9 +171,11 @@ def advance_dedup_index(
     built with silently corrupts it, exactly as mixing permutation
     families would in any LSH store; keep them pinned at the call
     site (the streaming maintainer does)."""
+    mark = _phase_timer()
     tv = int(to_version) if to_version is not None else src.current_version()
     fv = dedup_index_watermark(idx)
     key, orders, _ = _base_columns(src)
+    mark("didx.watermark")
     if fv is None:
         epoch_v0 = src.versions()[0]
         if tv <= epoch_v0:
@@ -205,6 +208,7 @@ def advance_dedup_index(
         .select(key, text_col, "_old_text", "change_type", *orders)
         .localCheckpoint(eager=True)
     )
+    mark("didx.feed")
     ups_rows = j.where(
         (F.col("change_type") == "upsert") & F.col(text_col).isNotNull()
     ).select(key, text_col, *orders)
@@ -230,7 +234,10 @@ def advance_dedup_index(
         ups.withColumn(OP_COL, F.lit(OP_UPDATE))
         .unionByName(dels.withColumn(OP_COL, F.lit(OP_DELETE)))
     )
-    return merge_apply(idx, events, epoch_id=epoch_id, mode=mode)
+    mark("didx.banding_plan")
+    out = merge_apply(idx, events, epoch_id=epoch_id, mode=mode)
+    mark("didx.merge")
+    return out
 
 
 def neardup_probe(

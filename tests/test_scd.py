@@ -258,3 +258,29 @@ def test_history_collision_and_empty_guard(spark, tmp_path):
     h = create_history_table(t2, str(tmp_path / "h2"))
     assert advance_history(t2, h) is None  # nothing past create
     assert history_watermark(h) is None
+
+
+def test_stream_maintain_history_tracks_base(spark, table3, tmp_path):
+    from realdeal_spark.streaming import stream_maintain_history
+
+    t = table3
+    h = create_history_table(t, str(tmp_path / "h"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_maintain_history(t, h, ckpt, max_versions_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert _hist_set(h.read()) == _hist_set(history_rows(t))
+    # more base commits; fresh query off the same checkpoint resumes
+    merge_apply(t, _ev(spark, [(9, "update", "b", 77.0)]))
+    q2 = stream_maintain_history(t, h, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    assert _hist_set(h.read()) == _hist_set(history_rows(t))
+    cur = h.read().where("k='b' and _valid_to is null").first()
+    assert cur["v"] == 77.0
