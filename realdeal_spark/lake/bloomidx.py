@@ -54,6 +54,22 @@ from pyspark.sql import functions as F
 
 BLOOM_K = 4
 BLOOM_BITS_PER_KEY = 16
+
+#: Probing is only worth it when the key set is small enough that
+#: whole files can come back negative.  P(file negative) for n probed
+#: keys at fpp p and f true keys per file is ≤ (1-p)^n — at the
+#: default p≈0.24%, 4096 keys already push it below e^-9, i.e. every
+#: file is positive and the sidecar scan (O(table keys) words) is pure
+#: overhead.  Callers with a bulk batch should skip the probe and take
+#: the plain narrow scan; point lookups and trickle epochs stay far
+#: under this.
+BLOOM_PROBE_MAX_KEYS = 4096
+
+
+def probe_worthwhile(n_keys: int) -> bool:
+    """Whether a sidecar probe of ``n_keys`` can prune anything (see
+    BLOOM_PROBE_MAX_KEYS)."""
+    return n_keys <= BLOOM_PROBE_MAX_KEYS
 SIDECAR_DIRNAME = "_bloom"
 
 # entries written before blooms were enabled (or by non-bloom writers)

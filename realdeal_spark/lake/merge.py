@@ -559,9 +559,20 @@ def _merge_apply_mor(
         bloom_allow = None
         bloom_stats = None
         if snap.key_blooms:
-            _, bloom_allow, bloom_stats, _ = table._lookup_candidates(
-                snap, src.select(*key_cols)
-            )
+            # gate on batch size: past BLOOM_PROBE_MAX_KEYS distinct
+            # keys essentially every file is bloom-positive, so the
+            # sidecar scan (O(table keys) words — measured 37 s on a
+            # 64 M-entry table) prunes nothing; bulk epochs take the
+            # plain narrow scan instead
+            from realdeal_spark.lake import bloomidx
+
+            n_src = src.count()
+            if bloomidx.probe_worthwhile(n_src):
+                _, bloom_allow, bloom_stats, _ = table._lookup_candidates(
+                    snap, src.select(*key_cols)
+                )
+            else:
+                bloom_stats = {"skipped_bulk_keys": n_src}
             mark("mor.bloom_probe")
         # narrow current state of the touched buckets (reconciled
         # across any earlier MoR deltas; parquet reads only these

@@ -1314,9 +1314,15 @@ class LakeTable:
         # key survives) is far smaller than the touched buckets
         allow: set[str] | None = None
         if from_snap.key_blooms:
-            _, allow, _, _ = self._lookup_candidates(
-                from_snap, changed_keys
-            )
+            from realdeal_spark.lake import bloomidx
+
+            # bulk intervals make every file bloom-positive — the
+            # sidecar scan would be pure overhead (bloomidx.
+            # BLOOM_PROBE_MAX_KEYS); the bucket pruning above stands
+            if bloomidx.probe_worthwhile(changed_keys.count()):
+                _, allow, _, _ = self._lookup_candidates(
+                    from_snap, changed_keys
+                )
         pre_by_sv: dict[int, list[str]] = {}
         for bucket, fl in from_snap.files.items():
             if int(bucket) not in bkts:
