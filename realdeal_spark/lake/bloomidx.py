@@ -55,21 +55,28 @@ from pyspark.sql import functions as F
 BLOOM_K = 4
 BLOOM_BITS_PER_KEY = 16
 
-#: Probing is only worth it when the key set is small enough that
-#: whole files can come back negative.  P(file negative) for n probed
-#: keys at fpp p and f true keys per file is ≤ (1-p)^n — at the
-#: default p≈0.24%, 4096 keys already push it below e^-9, i.e. every
-#: file is positive and the sidecar scan (O(table keys) words) is pure
-#: overhead.  Callers with a bulk batch should skip the probe and take
-#: the plain narrow scan; point lookups and trickle epochs stay far
-#: under this.
-BLOOM_PROBE_MAX_KEYS = 4096
+#: Probing is only worth it when whole files can still come back
+#: negative.  ``bloom_candidate_paths`` pairs each key with the
+#: covered files OF ITS OWN BUCKET only (the ``_b`` equi-join), so the
+#: probe count a file faces is keys-per-touched-bucket, not the batch
+#: total.  P(file with no true hits survives all n_b probes) =
+#: (1-p)^n_b at per-probe fpp p ≈ 0.24% (k=4, 16 bits/key): n_b=256
+#: still prunes ~54% of innocent files, n_b=1024 ~8.5%, n_b=4096
+#: effectively nothing — at which point the sidecar word scan
+#: (O(keys in the touched buckets)) is pure overhead and a bulk epoch
+#: should take the plain narrow scan.  The threshold is the density
+#: where expected pruning drops below ~8%: ln(1/0.08)/p ≈ 1e3.
+BLOOM_PROBE_MAX_KEYS_PER_BUCKET = 1024
 
 
-def probe_worthwhile(n_keys: int) -> bool:
-    """Whether a sidecar probe of ``n_keys`` can prune anything (see
-    BLOOM_PROBE_MAX_KEYS)."""
-    return n_keys <= BLOOM_PROBE_MAX_KEYS
+def probe_worthwhile(n_keys: int, n_buckets: int = 1) -> bool:
+    """Whether a sidecar probe of ``n_keys`` spread over (at most)
+    ``n_buckets`` hash buckets can still prune files.  Keys hash
+    uniformly, so density per touched bucket is ``n_keys /
+    min(n_keys, n_buckets)`` (a batch smaller than the bucket count
+    touches at most one bucket per key)."""
+    touched = max(1, min(int(n_keys), int(n_buckets)))
+    return n_keys / touched <= BLOOM_PROBE_MAX_KEYS_PER_BUCKET
 SIDECAR_DIRNAME = "_bloom"
 
 # entries written before blooms were enabled (or by non-bloom writers)

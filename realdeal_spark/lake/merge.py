@@ -559,15 +559,18 @@ def _merge_apply_mor(
         bloom_allow = None
         bloom_stats = None
         if snap.key_blooms:
-            # gate on batch size: past BLOOM_PROBE_MAX_KEYS distinct
-            # keys essentially every file is bloom-positive, so the
-            # sidecar scan (O(table keys) words — measured 37 s on a
-            # 64 M-entry table) prunes nothing; bulk epochs take the
-            # plain narrow scan instead
+            # gate on per-bucket key density: past ~1k probed keys per
+            # touched bucket essentially every file is bloom-positive,
+            # so the sidecar scan (O(touched-bucket keys) words —
+            # measured 37 s on a 64 M-entry table) prunes nothing;
+            # bulk epochs take the plain narrow scan instead.  Wide
+            # fan-out batches (e.g. the dedup index: 20 k band hashes
+            # over 64 bh-buckets ≈ 312/bucket) stay under the gate and
+            # keep their measured pruning win (BENCH_DEDUPIDX.md).
             from realdeal_spark.lake import bloomidx
 
             n_src = src.count()
-            if bloomidx.probe_worthwhile(n_src):
+            if bloomidx.probe_worthwhile(n_src, snap.n_buckets):
                 _, bloom_allow, bloom_stats, _ = table._lookup_candidates(
                     snap, src.select(*key_cols)
                 )

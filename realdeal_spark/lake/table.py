@@ -1318,8 +1318,11 @@ class LakeTable:
 
             # bulk intervals make every file bloom-positive — the
             # sidecar scan would be pure overhead (bloomidx.
-            # BLOOM_PROBE_MAX_KEYS); the bucket pruning above stands
-            if bloomidx.probe_worthwhile(changed_keys.count()):
+            # BLOOM_PROBE_MAX_KEYS_PER_BUCKET, a per-touched-bucket
+            # density gate); the bucket pruning above stands
+            if bloomidx.probe_worthwhile(
+                changed_keys.count(), from_snap.n_buckets
+            ):
                 _, allow, _, _ = self._lookup_candidates(
                     from_snap, changed_keys
                 )

@@ -231,3 +231,39 @@ def test_mor_classification_bloom_pruning_converges(spark, tmp_path):
     # epoch 3 touched only keys 300..319: generations from other
     # epochs in its buckets must have been pruned from the classify
     assert stats["files_pruned"] > 0
+
+
+def test_probe_worthwhile_density_gate():
+    """The gate is per-touched-bucket density, not batch total: a wide
+    fan-out batch (many buckets) keeps probing, a bulk batch into few
+    buckets skips."""
+    from realdeal_spark.lake.bloomidx import (
+        BLOOM_PROBE_MAX_KEYS_PER_BUCKET as CAP,
+        probe_worthwhile,
+    )
+
+    assert probe_worthwhile(1, 4)  # point lookup
+    assert probe_worthwhile(CAP * 4, 4)  # exactly at density CAP
+    assert not probe_worthwhile(CAP * 4 + 4, 4)  # just past it
+    # dedup-index shape: 20k band hashes over 64 bh-buckets ≈ 312/bkt
+    assert probe_worthwhile(20_000, 64)
+    # bulk epoch into a small table: 20k keys over 4 buckets = 5000/bkt
+    assert not probe_worthwhile(20_000, 4)
+    # batch smaller than the bucket count touches ≤ n_keys buckets
+    assert probe_worthwhile(3, 1024)
+
+
+def test_mor_bulk_batch_skips_bloom_probe(spark, tmp_path):
+    """A bulk epoch (density past the gate) must skip the sidecar
+    probe — summary records the skip — and still converge to the
+    unbloomed table's state."""
+    tb = _mk(spark, tmp_path, "t10", key_blooms=True)
+    tp = _mk(spark, tmp_path, "t10p", key_blooms=False)
+    seed = _batch(spark, 0, 500)
+    bulk = _batch(spark, 100, 4800, ts_shift=10_000, v=7)  # 4700 > 4*1024
+    for i, e in enumerate([seed, bulk]):
+        merge_apply(tb, e, mode="mor", epoch_id=f"e{i}")
+        merge_apply(tp, e, mode="mor", epoch_id=f"e{i}")
+    assert _rows(tb.read()) == _rows(tp.read())
+    stats = tb.snapshot().summary.get("classify_bloom")
+    assert stats == {"skipped_bulk_keys": 4700}
