@@ -180,18 +180,29 @@ def bloom_candidate_paths(
     root: str,
     keys_df: DataFrame,
     key_cols: list[str],
-    covered: list[tuple[str, int, str]],
+    covered: list[tuple[str, int, str, int | None]],
+    n_keys: int | None = None,
 ) -> set[str]:
-    """Data files (of ``covered`` = [(path, bucket, sidecar_rel)])
-    that MAY contain at least one key of ``keys_df`` (which carries
-    the key columns plus the precomputed ``_b`` bucket column).
+    """Data files (of ``covered`` = [(path, bucket, sidecar_rel,
+    rows-or-None)]) that MAY contain at least one key of ``keys_df``
+    (which carries the key columns plus the precomputed ``_b`` bucket
+    column).
 
-    Probe plan: load the needed sidecars pruned to the covered paths,
-    pair each key with the covered files OF ITS BUCKET only, test all
-    BLOOM_K bits via one (path, w) equi-join.  No false negatives:
-    a file is dropped only if some bit of every requested key is
-    provably unset.  Empty files write no words, get no meta row, and
-    are correctly never candidates.
+    Probe plan — sized for a words table of O(table keys) rows: the
+    SMALL side (each key paired with the covered files OF ITS BUCKET
+    only, exploded to its BLOOM_K probe positions) broadcasts into ONE
+    streamed scan of the words parquet; a (key, file) pair is a
+    candidate iff all BLOOM_K probes hit.  The words side is never
+    broadcast, shuffled, or scanned twice (the first version broadcast
+    the words table once per bit — 29 s of the dedup-index advance at
+    a 64 M-entry index, BENCH_DEDUPIDX.md).  ``m_bits`` per file comes
+    from the manifest row count (the same number the writer hashed
+    with); only legacy entries with unknown rows fall back to reading
+    it off their own words.  No false negatives: a file is dropped
+    only if some bit of every requested key is provably unset (a probe
+    position with no words row is an all-zero word).  Empty files
+    write no words, get no meta row, and are correctly never
+    candidates.
     """
     if not covered:
         return set()
@@ -202,7 +213,7 @@ def bloom_candidate_paths(
     # files to always-candidates — correctness never depends on it.
     parts: list[str] = []
     degraded: set[str] = set()
-    for sc in sorted({s for _, _, s in covered}):
+    for sc in sorted({s for _, _, s, _ in covered}):
         full = os.path.join(root, sc)
         found = (
             sorted(
@@ -217,36 +228,81 @@ def bloom_candidate_paths(
             parts += found
         else:
             degraded.add(sc)
-    always = {p for p, _, s in covered if s in degraded}
-    covered = [(p, b, s) for p, b, s in covered if s not in degraded]
+    always = {p for p, _, s, _ in covered if s in degraded}
+    covered = [(p, b, s, n) for p, b, s, n in covered if s not in degraded]
     if not covered:
         return always
-    path_set = [p for p, _, _ in covered]
+    path_set = [p for p, _, _, _ in covered]
     words = spark.read.parquet(*parts).where(F.col("path").isin(path_set))
+    # m_bits per covered file, driver-side: derived from the manifest
+    # row count exactly as the writer derived it.  Legacy entries
+    # (rows unknown) read theirs off their own words — a scan pruned
+    # to just those files, absent entirely on post-round-4 manifests.
+    m_of: dict[str, int] = {
+        p: bloom_m_bits(int(n)) for p, _, _, n in covered if n is not None
+    }
+    unknown = [p for p, _, _, n in covered if n is None]
+    if unknown:
+        for r in (
+            words.where(F.col("path").isin(unknown))
+            .select("path", "m_bits")
+            .distinct()
+            .collect()
+        ):
+            m_of[r["path"]] = int(r["m_bits"])
     fmeta = spark.createDataFrame(
-        [(p, b) for p, b, _ in covered], "path string, _b int"
-    ).join(words.select("path", "m_bits").distinct(), on="path")
+        [(p, b, m_of[p]) for p, b, _, _ in covered if p in m_of],
+        "path string, _b int, m_bits bigint",
+    )
 
+    # SMALL side: (key × its bucket's files) exploded to BLOOM_K probe
+    # positions.  Bounded by the probe_worthwhile density gate at the
+    # merge/feed call sites, so it broadcasts; the O(table keys) words
+    # side streams through exactly one join.  An ungated bulk lookup
+    # (caller passes a large n_keys) drops the hint and lets the
+    # planner shuffle both sides — correct either way.
+    n_buckets_touched = max(1, len({b for _, b, _, _ in covered}))
+    est_probe_rows = (
+        (n_keys * len(covered) * BLOOM_K) // n_buckets_touched
+        if n_keys is not None
+        else 0
+    )
+    may_broadcast = est_probe_rows <= 5_000_000
     pairs = keys_df.join(F.broadcast(fmeta), on="_b")
-    keep = F.lit(True)
-    drop_cols: list[str] = []
-    for i in range(BLOOM_K):
-        pos_c, w_c, word_c = f"_pos{i}", f"_w{i}", f"_word{i}"
-        pairs = pairs.withColumn(
-            pos_c,
+    pos_arr = F.array(
+        *[
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in key_cols], F.lit(i)),
                 F.col("m_bits"),
-            ),
-        ).withColumn(w_c, F.expr(f"{pos_c} div 64"))
-        probe = words.select(
-            F.col("path"), F.col("w").alias(w_c), F.col("word").alias(word_c)
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+    probes = pairs.select(
+        "path", *key_cols, F.posexplode(pos_arr).alias("_i", "_pos")
+    ).select(
+        "path",
+        *key_cols,
+        "_i",
+        F.expr("_pos div 64").alias("w"),
+        F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_bit"),
+    )
+    # inner join: a probe position with no words row targets an
+    # all-zero word (the writer only emits words with a bit set) —
+    # that probe misses, the (key, file) pair needs all BLOOM_K hits
+    hits = (
+        words.select("path", "w", "word")
+        .join(
+            F.broadcast(probes) if may_broadcast else probes,
+            on=["path", "w"],
         )
-        pairs = pairs.join(F.broadcast(probe), on=["path", w_c], how="left")
-        bit = F.expr(f"shiftleft(1L, cast({pos_c} % 64 as int))")
-        keep = keep & (
-            F.coalesce(F.col(word_c), F.lit(0)).bitwiseAND(bit) != 0
-        )
-        drop_cols += [pos_c, w_c, word_c]
-    hit = pairs.where(keep).select("path").distinct()
-    return always | {r["path"] for r in hit.collect()}
+        .where(F.col("word").bitwiseAND(F.col("_bit")) != 0)
+    )
+    cand = (
+        hits.groupBy("path", *key_cols)
+        .agg(F.count_distinct("_i").alias("_n"))
+        .where(F.col("_n") == BLOOM_K)
+        .select("path")
+        .distinct()
+    )
+    return always | {r["path"] for r in cand.collect()}

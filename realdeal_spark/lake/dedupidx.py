@@ -74,6 +74,19 @@ def create_dedup_index(
     ordered by the base order columns, bucket-hashed on ``bh`` alone
     so a probe prunes to the probed band hashes' buckets.
 
+    **Sizing ``n_buckets``:** a probe of B documents carries ≈
+    B×bands distinct band hashes and reads ``min(1, B×bands /
+    n_buckets)`` of the index, so size buckets well past the typical
+    probe batch's band count — ``n_buckets ≥ 25 × B × bands`` keeps
+    the read under ~4% of the corpus (a 20-doc trickle probe at the
+    default 64 read 33/64 buckets; at 2048 it reads ≤ 80).  The
+    advance's bloom pruning has the same lever: its batch probes
+    ``n_keys / n_buckets`` keys per bucket and prunes only while that
+    density stays under ``bloomidx.BLOOM_PROBE_MAX_KEYS_PER_BUCKET``.
+    The default 64 is test-scale; a 10^10-document corpus wants
+    thousands (buckets are metadata — the cost of more is small
+    files, fixed by compaction).
+
     Requires a soft-delete base: retirement must see deletes in the
     changes feed (a hard-delete base's feed is upserts-only and the
     index would hold ghost candidates forever).

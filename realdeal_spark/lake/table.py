@@ -890,7 +890,7 @@ class LakeTable:
             F.pmod(F.xxhash64(*bcols), F.lit(snap.n_buckets)).cast("int"),
         ).localCheckpoint(eager=True)
         buckets = sorted(r["_b"] for r in kdf.select("_b").distinct().collect())
-        covered: list[tuple[str, int, str]] = []
+        covered: list[tuple[str, int, str, int | None]] = []
         allow: set[str] = set()
         total = 0
         for b in buckets:
@@ -898,12 +898,16 @@ class LakeTable:
                 total += 1
                 sidecar = fe.get(bloomidx.ENTRY_KEY)
                 if sidecar:
-                    covered.append((fe["path"], b, sidecar))
+                    rows = fe.get("rows")
+                    covered.append(
+                        (fe["path"], b, sidecar, None if rows is None else int(rows))
+                    )
                 else:
                     allow.add(fe["path"])  # legacy: always a candidate
         if covered:
             allow |= bloomidx.bloom_candidate_paths(
-                self.spark, self.root, kdf, key_cols, covered
+                self.spark, self.root, kdf, key_cols, covered,
+                n_keys=kdf.count(),
             )
         stats = {
             "buckets": len(buckets),
