@@ -28,6 +28,14 @@ from realdeal_spark.cdc.rollup import (
     rollup_advance,
     rollup_full,
 )
+from realdeal_spark.cdc.joinview import (
+    JoinViewMaintainer,
+    advance_join_view,
+    create_join_view,
+    join_view_lag,
+    join_view_watermark,
+    stream_maintain_join_view,
+)
 
 __all__ = [
     "conflate",
@@ -48,4 +56,10 @@ __all__ = [
     "rollup_advance",
     "rollup_full",
     "stream_replicate",
+    "JoinViewMaintainer",
+    "advance_join_view",
+    "create_join_view",
+    "join_view_lag",
+    "join_view_watermark",
+    "stream_maintain_join_view",
 ]
