@@ -298,3 +298,86 @@ def test_neardup_probe_is_equi_join_not_cartesian(spark, tmp_path):
     )
     p = plan(probe)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_join_view_dim_only_advance_never_reads_fact(spark, tmp_path):
+    """The delta-join's dim-side refresh must be self-contained in the
+    view (a LEFT MV holds every live fact row) — a dim-only epoch may
+    not scan or feed-read the FACT table, and the fact-side
+    enrichment's dim read must be bucket-pruned (a point lookup, not
+    an O(dim) scan)."""
+    from realdeal_spark.cdc.joinview import (
+        advance_join_view,
+        create_join_view,
+    )
+    from realdeal_spark.lake import LakeTable, merge_apply
+
+    fact = LakeTable.create(
+        spark, str(tmp_path / "f"),
+        "k bigint, ts bigint, fk bigint, val double",
+        ["k"], ["ts"], n_buckets=4, soft_delete=True,
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "d"),
+        "dk bigint, dts bigint, label string",
+        ["dk"], ["dts"], n_buckets=8, soft_delete=True,
+    )
+    view = create_join_view(fact, dim, {"fk": "dk"}, str(tmp_path / "v"))
+    merge_apply(fact, spark.createDataFrame(
+        [(i, 10, i % 3, float(i), "update") for i in range(30)],
+        "k bigint, ts bigint, fk bigint, val double, op string",
+    ), epoch_id="f1")
+    merge_apply(dim, spark.createDataFrame(
+        [(i, 10, f"L{i}", "update") for i in range(20)],
+        "dk bigint, dts bigint, label string, op string",
+    ), epoch_id="d1")
+    advance_join_view(fact, dim, view, {"fk": "dk"})
+
+    # fact-side epoch: the dim read must go through lookup (pruned to
+    # the probed keys' buckets, not all 8)
+    merge_apply(fact, spark.createDataFrame(
+        [(100, 20, 1, 1.0, "update")],
+        "k bigint, ts bigint, fk bigint, val double, op string",
+    ), epoch_id="f2")
+    dim_read_calls = []
+    orig_read = dim.read
+
+    def spy_read(*a, **kw):
+        dim_read_calls.append(kw)
+        return orig_read(*a, **kw)
+
+    dim.read = spy_read
+    try:
+        advance_join_view(fact, dim, view, {"fk": "dk"})
+    finally:
+        dim.read = orig_read
+    pruned = [
+        kw for kw in dim_read_calls
+        if kw.get("buckets") is not None and len(kw["buckets"]) < 8
+    ]
+    assert pruned, f"dim reads were not bucket-pruned: {dim_read_calls}"
+
+    # dim-only epoch: fact table must not be read at all
+    merge_apply(dim, spark.createDataFrame(
+        [(1, 20, "L1-v2", "update")],
+        "dk bigint, dts bigint, label string, op string",
+    ), epoch_id="d2")
+    expected = sorted(
+        (r["k"], r["label"])
+        for r in fact.read().join(
+            dim.read().select(F.col("dk").alias("fk"), "label"),
+            on="fk", how="left",
+        ).collect()
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("dim-only advance touched the fact table")
+
+    fact.read = boom
+    fact.read_changes = boom
+    try:
+        advance_join_view(fact, dim, view, {"fk": "dk"})
+    finally:
+        del fact.read, fact.read_changes
+    got = sorted((r["k"], r["label"]) for r in view.read().collect())
+    assert got == expected
