@@ -99,6 +99,9 @@ HEADLINE = HEADLINE_R1 + [
     # dedup index (2-epoch ingest + O(batch) probe)
     "cdc_scd2_history",
     "dedup_incremental_lsh",
+    # final round-5 addition: the maintained delta-join view (4
+    # interleaved fact/dim epochs, both-feed advance)
+    "cdc_join_view",
 ]
 
 
