@@ -171,6 +171,8 @@ def advance_join_view(
     dim_to: int | None = None,
     mode: str = "cow",
     fk_index: LakeTable | None = None,
+    fk_scan_fallback_fraction: float | None = 0.01,
+    fk_index_mode: str = "mor",
     auto_evolve: bool = True,
 ) -> MergeResult | None:
     """Advance the view to ``(fact_to, dim_to)`` (default: both
@@ -186,10 +188,16 @@ def advance_join_view(
     is advanced to the view's current version and the dim-side
     affected-row read serves through ``lookup_by_value`` (probed
     value buckets → Bloom-pruned key lookup, with the cost-based
-    scan fallback when the changed dim keys touch too much of the
-    view).  Without it the dim-side read is a fk-semi-joined view
-    scan — correct, and O(view) input per dim epoch; fine for rare
-    dim changes, the index is the 100-TB path.
+    scan fallback — ``fk_scan_fallback_fraction`` — when the changed
+    dim keys touch too much of the view).  The arrangement pays in
+    the TRICKLE regime (a few changed dim keys against a huge view)
+    and only when the view was created with ``key_blooms=True`` — a
+    bloom-less key lookup touches every bucket a key hashes to and
+    is never cheaper than the plain semi-scan (measured,
+    BENCH_JOINVIEW.md).  Without it the dim-side read is a
+    fk-semi-joined view scan — correct, O(view) input per dim epoch;
+    fine for rare dim changes at bench scale, the indexed+bloomed
+    path is the 100-TB trickle answer.
     """
     pairs = _fk_pairs(on)
     dim_cols = _dim_payload(dim, on, dim_cols)
@@ -281,9 +289,17 @@ def advance_join_view(
                     lookup_by_value,
                 )
 
-                advance_value_index(view, fk_index, fk_cols[0])
+                # MoR by default: a CoW index advance rewrites every
+                # index bucket the changed fks hash into — once the
+                # epoch touches more fks than the index has buckets
+                # that is an O(index) rewrite per epoch; MoR keeps it
+                # O(changes) (compact() amortizes the deltas)
+                advance_value_index(
+                    view, fk_index, fk_cols[0], mode=fk_index_mode
+                )
                 affected = lookup_by_value(
-                    view, fk_index, fk_cols[0], kvals, version=vpin
+                    view, fk_index, fk_cols[0], kvals, version=vpin,
+                    scan_fallback_fraction=fk_scan_fallback_fraction,
                 )
             else:
                 affected = view.read(version=vpin).join(
@@ -382,10 +398,12 @@ class JoinViewMaintainer:
         dim_cols: Sequence[str] | None = None,
         mode: str = "cow",
         fk_index: LakeTable | None = None,
+        fk_scan_fallback_fraction: float | None = 0.01,
     ):
         self.fact, self.dim, self.view = fact, dim, view
         self.on, self.dim_cols, self.mode = on, dim_cols, mode
         self.fk_index = fk_index
+        self.fk_scan_fallback_fraction = fk_scan_fallback_fraction
 
     def refresh(
         self, fact_to: int | None = None, dim_to: int | None = None
@@ -400,6 +418,7 @@ class JoinViewMaintainer:
             dim_to=dim_to,
             mode=self.mode,
             fk_index=self.fk_index,
+            fk_scan_fallback_fraction=self.fk_scan_fallback_fraction,
         )
 
 

@@ -234,3 +234,32 @@ def test_streaming_maintainer(spark, tmp_path):
     )
     q.awaitTermination(120)
     _assert_converged(fact, dim, view)
+
+
+def test_fact_schema_evolution_propagates(spark, jv):
+    """north_rule: schema evolution rides the maintained surfaces —
+    a column added to the FACT table mid-stream must appear in the
+    view (auto_evolve reconcile) and carry values for rows touched
+    after the evolution, null for untouched older rows."""
+    fact, dim, view = jv
+    _apply(fact, spark, FACT_SCHEMA, F1)
+    _apply(dim, spark, DIM_SCHEMA, D1)
+    advance_join_view(fact, dim, view, {"fk": "dk"})
+    fact.add_column("src", "string")
+    _apply(
+        fact, spark, FACT_SCHEMA + ", src string",
+        [(1, 20, 100, 1.5, "crawl-b", "update"),
+         (7, 20, 200, 7.0, "crawl-b", "update")],
+    )
+    advance_join_view(fact, dim, view, {"fk": "dk"})
+    assert "src" in view.read().columns
+    got = {r["k"]: (r["src"], r["label"]) for r in view.read().collect()}
+    assert got[1] == ("crawl-b", "a-v1")
+    assert got[7] == ("crawl-b", "b-v1")
+    assert got[2][0] is None  # untouched pre-evolution row
+    # dim-side refresh afterwards must preserve the evolved column
+    _apply(dim, spark, DIM_SCHEMA, [(100, 20, "a-v2", 0.9, "update")])
+    advance_join_view(fact, dim, view, {"fk": "dk"})
+    got = {r["k"]: (r["src"], r["label"]) for r in view.read().collect()}
+    assert got[1] == ("crawl-b", "a-v2")
+    assert got[2] == (None, "a-v2")
