@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--epoch-rows", type=int, default=100_000)
     ap.add_argument("--dim-changes", type=int, default=200)
     ap.add_argument("--index-buckets", type=int, default=1024)
+    ap.add_argument(
+        "--payload-bytes", type=int, default=0,
+        help="width of an extra fact payload column (the north-rule "
+        "shape carries ~KB of html/text per row; 0 = the narrow "
+        "worst case for the MV, where a raw rewrite is cheapest)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -71,19 +77,35 @@ def main() -> None:
     spark = get_spark(
         "jv-bench", master=f"local[{args.cpus}]",
         shuffle_partitions=2 * args.cpus,
+        extra_conf={"spark.driver.memory": "48g"},
     )
 
     def fact_batch(start, n, ts, dim_keys):
-        return (
-            spark.range(start, start + n)
-            .select(
-                F.col("id").alias("k"),
-                F.lit(ts).cast("bigint").alias("ts"),
-                (F.col("id") % dim_keys).alias("fk"),
-                (F.col("id") * 0.5).alias("val"),
-                F.lit("update").alias("op"),
+        cols = [
+            F.col("id").alias("k"),
+            F.lit(ts).cast("bigint").alias("ts"),
+            (F.col("id") % dim_keys).alias("fk"),
+            (F.col("id") * 0.5).alias("val"),
+        ]
+        if args.payload_bytes:
+            # high-entropy payload: concatenated per-row sha2 chains —
+            # repeated/padded fillers compress ~1000:1 under zstd and
+            # the write stops paying real bytes (first attempt at this
+            # bench measured exactly that)
+            k = (args.payload_bytes + 63) // 64
+            cols.append(
+                F.concat(*[
+                    F.sha2(
+                        F.concat_ws(
+                            "-", F.col("id").cast("string"),
+                            F.lit(str(i)), F.lit(str(ts)),
+                        ), 256,
+                    )
+                    for i in range(k)
+                ]).alias("body")
             )
-        )
+        cols.append(F.lit("update").alias("op"))
+        return spark.range(start, start + n).select(*cols)
 
     def dim_batch(keys_df, ts, tag):
         return keys_df.select(
@@ -98,9 +120,11 @@ def main() -> None:
     for n in sizes:
         root = f"/tmp/jv_bench_{n}"
         shutil.rmtree(root, ignore_errors=True)
+        fschema = "k bigint, ts bigint, fk bigint, val double"
+        if args.payload_bytes:
+            fschema += ", body string"
         fact = LakeTable.create(
-            spark, f"{root}/fact",
-            "k bigint, ts bigint, fk bigint, val double",
+            spark, f"{root}/fact", fschema,
             ["k"], ["ts"], n_buckets=max(16, args.cpus),
             soft_delete=True,
         )
