@@ -387,7 +387,15 @@ class JoinViewMaintainer:
     either input advances the view to both inputs' current versions
     (bootstrap on first call).  State lives in the view table itself
     — watermarks in-band via epoch ids — so a restarted maintainer
-    resumes with no side checkpoint."""
+    resumes with no side checkpoint.
+
+    ``compact_every``: compact the view after every N advancing
+    refreshes — the MoR delta-stack amortizer (the same lever as
+    ``CdcApplier(compact_every=…)``; BENCH_JOINVIEW.md's 64M
+    trickle outlier is what an uncompacted stack costs).  Compaction
+    is a maintenance commit: the changes feed skips it and the
+    in-band watermarks are untouched, so it composes with
+    exactly-once replay for free (tested)."""
 
     def __init__(
         self,
@@ -399,16 +407,19 @@ class JoinViewMaintainer:
         mode: str = "cow",
         fk_index: LakeTable | None = None,
         fk_scan_fallback_fraction: float | None = 0.01,
+        compact_every: int | None = None,
     ):
         self.fact, self.dim, self.view = fact, dim, view
         self.on, self.dim_cols, self.mode = on, dim_cols, mode
         self.fk_index = fk_index
         self.fk_scan_fallback_fraction = fk_scan_fallback_fraction
+        self.compact_every = compact_every
+        self._since_compact = 0
 
     def refresh(
         self, fact_to: int | None = None, dim_to: int | None = None
     ) -> MergeResult | None:
-        return advance_join_view(
+        res = advance_join_view(
             self.fact,
             self.dim,
             self.view,
@@ -420,6 +431,14 @@ class JoinViewMaintainer:
             fk_index=self.fk_index,
             fk_scan_fallback_fraction=self.fk_scan_fallback_fraction,
         )
+        if res is not None and self.compact_every:
+            self._since_compact += 1
+            if self._since_compact >= self.compact_every:
+                self.view.compact()
+                if self.fk_index is not None:
+                    self.fk_index.compact()
+                self._since_compact = 0
+        return res
 
 
 def stream_maintain_join_view(

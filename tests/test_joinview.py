@@ -263,3 +263,29 @@ def test_fact_schema_evolution_propagates(spark, jv):
     got = {r["k"]: (r["src"], r["label"]) for r in view.read().collect()}
     assert got[1] == ("crawl-b", "a-v2")
     assert got[2] == (None, "a-v2")
+
+
+def test_maintainer_compaction_amortizer(spark, jv):
+    """compact_every folds the view's MoR delta stack without
+    disturbing convergence, watermarks, or replay idempotence
+    (compaction is a maintenance commit the feed skips)."""
+    fact, dim, view = jv
+    m = JoinViewMaintainer(
+        fact, dim, view, {"fk": "dk"}, mode="mor", compact_every=2,
+    )
+    _apply(fact, spark, FACT_SCHEMA, F1)
+    _apply(dim, spark, DIM_SCHEMA, D1)
+    m.refresh()  # 1st advancing refresh
+    _apply(fact, spark, FACT_SCHEMA, [(5, 20, 200, 5.0, "update")])
+    m.refresh()  # 2nd → compacts
+    snap = view.snapshot()
+    assert snap.summary.get("operation") == "compact"
+    wm = join_view_watermark(view)
+    _assert_converged(fact, dim, view)
+    # replay after compaction: still a no-op, watermark unchanged
+    assert m.refresh() is None
+    assert join_view_watermark(view) == wm
+    # and the next real epoch advances straight across the compaction
+    _apply(dim, spark, DIM_SCHEMA, [(200, 30, "b-v2", 0.7, "update")])
+    m.refresh()
+    _assert_converged(fact, dim, view)
