@@ -453,17 +453,24 @@ def stream_maintain_join_view(
     mode: str = "cow",
     fk_index: LakeTable | None = None,
     trigger: dict | None = None,
+    compact_every: int | None = None,
+    fk_scan_fallback_fraction: float | None = 0.01,
 ):
     """Standing maintenance driven by the FACT table's changes-feed
     descriptor stream (the hot input); each trigger also catches the
     view up to the dim's current version, so dim edits ride the next
     fact micro-batch (or an empty one).  Exactly-once composes from
     Spark's checkpointed offsets + the epoch-id guard in
-    :func:`advance_join_view`."""
+    :func:`advance_join_view`.  ``compact_every`` /
+    ``fk_scan_fallback_fraction`` pass through to
+    :class:`JoinViewMaintainer` (new knobs appended AFTER ``trigger``
+    so existing positional callers keep their meaning)."""
     from realdeal_spark.streaming.cdf_source import foreach_changes
 
     m = JoinViewMaintainer(
-        fact, dim, view, on, dim_cols=dim_cols, mode=mode, fk_index=fk_index
+        fact, dim, view, on, dim_cols=dim_cols, mode=mode,
+        fk_index=fk_index, compact_every=compact_every,
+        fk_scan_fallback_fraction=fk_scan_fallback_fraction,
     )
     # catch up before tailing: covers dim-only edits made while no
     # maintainer was running (the fact stream alone would never fire)

@@ -289,3 +289,38 @@ def test_maintainer_compaction_amortizer(spark, jv):
     _apply(dim, spark, DIM_SCHEMA, [(200, 30, "b-v2", 0.7, "update")])
     m.refresh()
     _assert_converged(fact, dim, view)
+
+
+def test_streaming_maintainer_with_compaction(spark, tmp_path):
+    """compact_every through the STREAMING entry point: the drain
+    still converges, the view history shows a compact commit, and a
+    checkpointed re-drain after compaction replays nothing."""
+    from realdeal_spark.cdc.joinview import stream_maintain_join_view
+
+    fact, dim, view = _mk_tables(spark, str(tmp_path))
+    _apply(fact, spark, FACT_SCHEMA, F1)
+    _apply(dim, spark, DIM_SCHEMA, D1)
+    _apply(fact, spark, FACT_SCHEMA, [(5, 20, 200, 5.0, "update")])
+    q = stream_maintain_join_view(
+        fact, dim, view, {"fk": "dk"},
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        mode="mor",
+        trigger={"availableNow": True},
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+    _assert_converged(fact, dim, view)
+    ops = {s.summary.get("operation") for s in view.history()}
+    assert "compact" in ops
+    wm = join_view_watermark(view)
+    v = view.current_version()
+    q = stream_maintain_join_view(
+        fact, dim, view, {"fk": "dk"},
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        mode="mor",
+        trigger={"availableNow": True},
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+    assert join_view_watermark(view) == wm
+    assert view.current_version() == v
