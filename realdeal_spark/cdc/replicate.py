@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from realdeal_spark.cdc.evolve import reconcile
 from realdeal_spark.lake.merge import MergeResult, merge_apply
-from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.table import LakeTable, interval_watermark
 
 
 def create_replica(
@@ -101,12 +101,7 @@ def replica_watermark(dst: LakeTable) -> int | None:
     the replica carries its replication state in-band, the same
     checkpoint-in-the-data property the applier has.  None if this
     table never received a replicated interval."""
-    hi: int | None = None
-    for eid in dst.snapshot().applied_epochs:
-        if eid.startswith("cdf-replicate:"):
-            to_v = int(eid.rsplit("-", 1)[1])
-            hi = to_v if hi is None else max(hi, to_v)
-    return hi
+    return interval_watermark(dst, "cdf-replicate:")
 
 
 def replication_lag(src: LakeTable, dst: LakeTable) -> dict:

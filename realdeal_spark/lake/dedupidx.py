@@ -42,7 +42,7 @@ from realdeal_spark.lake.merge import (
     _phase_timer,
     merge_apply,
 )
-from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.table import LakeTable, interval_watermark
 from realdeal_spark.operators.dedup import banded_minhash
 
 _EPOCH_PREFIX = "dedupidx:"
@@ -126,12 +126,7 @@ def dedup_index_watermark(idx: LakeTable) -> int | None:
     """Highest base version the index has applied, recovered from its
     own epoch ids — replication state carried in-band, so resume
     needs no side checkpoint."""
-    hi: int | None = None
-    for eid in idx.snapshot().applied_epochs:
-        if eid.startswith(_EPOCH_PREFIX):
-            to_v = int(eid.rsplit("-", 1)[1])
-            hi = to_v if hi is None else max(hi, to_v)
-    return hi
+    return interval_watermark(idx, _EPOCH_PREFIX)
 
 
 def _banded_with_orders(
@@ -232,9 +227,13 @@ def advance_dedup_index(
             | ~F.col(text_col).eqNullSafe(F.col("_old_text"))
         )
     ).select(key, F.col("_old_text").alias(text_col), *orders)
+    # ups feeds two plan subtrees (the events union AND the right
+    # side of the retirement anti-join below); Spark does not CSE
+    # across them, so without a checkpoint the Arrow banding pass over
+    # the new text — the most expensive per-row work here — runs twice
     ups = _banded_with_orders(
         ups_rows, text_col, key, orders, num_perm, bands, shingle_n
-    )
+    ).localCheckpoint(eager=True)
     dels = _banded_with_orders(
         ret_rows, text_col, key, orders, num_perm, bands, shingle_n
     )
@@ -276,21 +275,28 @@ def neardup_probe(
     advanced with."""
     snap = idx.snapshot(version)
     key = snap.key_columns[-1]
+    # null-text docs never enter the index (advance filters them);
+    # banding them here would normalize to the empty string and
+    # collide with every indexed empty document — spurious candidates
     probe = banded_minhash(
-        docs, text_col=text_col, id_col=id_col,
+        docs.where(F.col(text_col).isNotNull()),
+        text_col=text_col, id_col=id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
     ).localCheckpoint(eager=True)
+    # bucket ids via the table's own bucket_expr (bit-identical to the
+    # write-side assignment by construction), resolved against the
+    # SAME pinned snapshot the read below uses — resolving twice let a
+    # concurrent rebucket change n_buckets between the two and read
+    # the wrong buckets
     buckets = sorted(
         r["_b"]
         for r in probe.select(
-            F.pmod(F.xxhash64("bh"), F.lit(snap.n_buckets))
-            .cast("int")
-            .alias("_b")
+            idx.bucket_expr(snap).cast("int").alias("_b")
         )
         .distinct()
         .collect()
     )
-    entries = idx.read(version=version, buckets=buckets).select(
+    entries = idx.read(snapshot=snap, buckets=buckets).select(
         "band", "bh", F.col(key).alias("_match")
     )
     return (

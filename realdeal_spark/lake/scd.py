@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from realdeal_spark.lake.merge import OP_COL, OP_UPDATE, MergeResult, merge_apply
-from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.table import LakeTable, interval_watermark
 from realdeal_spark.operators.asof import asof_join
 
 _EPOCH_PREFIX = "scd2:"
@@ -218,12 +218,7 @@ def history_watermark(hist: LakeTable) -> int | None:
     """Highest src version the history reflects, recovered from the
     history table's own epoch ids (``scd2:<from>-<to>``) — in-band
     replication state, no side checkpoint (the valueindex pattern)."""
-    hi: int | None = None
-    for eid in hist.snapshot().applied_epochs:
-        if eid.startswith(_EPOCH_PREFIX):
-            to_v = int(eid.rsplit("-", 1)[1])
-            hi = to_v if hi is None else max(hi, to_v)
-    return hi
+    return interval_watermark(hist, _EPOCH_PREFIX)
 
 
 def advance_history(
@@ -250,12 +245,26 @@ def advance_history(
     snapshots coarsens history for both representations equally; the
     watermark version itself must still be retained (the standard
     incremental-read constraint)."""
+    if to_version is not None:
+        # resolve it: a bogus/future version would otherwise commit a
+        # too-high watermark epoch id, silently no-op-ing every later
+        # advance until the "no longer retained" error — unrecoverable
+        src.snapshot(int(to_version))
     tv = int(to_version) if to_version is not None else src.current_version()
     fv = history_watermark(hist)
     # src schema evolution since create/last advance: mirror added
-    # columns onto the history table (field-id evolution, no rewrite)
+    # columns onto the history table (field-id evolution, no rewrite).
+    # Re-check the meta-name clash create_history_table enforces: a
+    # later-added src column named _live/_valid_from/… would otherwise
+    # be skipped here (hist already has the name) and then silently
+    # OVERWRITTEN by the maintainer's own stamp below.
     hist_cols = set(hist.read().columns)
     for f in src.read().schema.fields:
+        if f.name in _HIST_META:
+            raise ValueError(
+                f"source column {f.name!r} collides with a history "
+                "meta column; rename it at the source"
+            )
         if f.name not in hist_cols:
             hist.add_column(f.name, f.dataType.simpleString())
     if fv is None:
@@ -301,8 +310,21 @@ def advance_history(
     # window; the MERGE's own bucket pruning bounds the rewrite and
     # this read to the buckets the changed keys hash into
     changed = new.select(*keys).distinct()
+    # prune the close-the-current-row read to the buckets the changed
+    # keys hash into (the history bucket hash uses only the src keys,
+    # create_history_table): without this the semi join scans the
+    # WHOLE history every advance — O(history), the cost the module
+    # exists to avoid.  The bucket-id collect is metadata-sized
+    # (≤ n_buckets ints).
+    hsnap = hist.snapshot()
+    touched = sorted(
+        r["_b"]
+        for r in changed.select(hist.bucket_expr(hsnap).alias("_b"))
+        .distinct()
+        .collect()
+    )
     prev_cur = (
-        hist.read()
+        hist.read(buckets=touched)
         .join(changed, on=keys, how="left_semi")
         .where(F.col("_valid_to").isNull())
         .drop("_valid_to", "_ord")
@@ -323,8 +345,13 @@ def read_history_asof(
     """Serve "state as of wall-clock ``at``" from the maintained
     history alone: the interval containing ``at`` per key — a filter,
     not a log replay (``_valid_from <= at < coalesce(_valid_to, inf)``
-    is file-skippable on the min/max stats of ``_valid_from``)."""
-    rows = hist.read().where(
+    is file-skippable on the min/max stats of ``_valid_from`` —
+    engaged via ``range_filters``, the manifest-level skip; a bare
+    ``.where()`` only gets parquet pushdown, which cannot skip whole
+    files below the MoR reconcile)."""
+    rows = hist.read(
+        range_filters={"_valid_from": (None, float(at))}
+    ).where(
         (F.col("_valid_from") <= F.lit(float(at)))
         & (
             F.col("_valid_to").isNull()

@@ -2324,3 +2324,18 @@ class LakeTable:
             "files_removed": files_removed,
             "manifests_removed": manifests_removed,
         }
+
+
+def interval_watermark(table: "LakeTable", prefix: str) -> int | None:
+    """Highest ``<to>`` among the table's applied epoch ids of the
+    form ``f"{prefix}<from>-<to>"`` — the shared in-band watermark
+    recovery every interval-driven maintainer (replica, value index,
+    dedup index, SCD2 history) uses for checkpoint-free resume.  The
+    id format is load-bearing for exactly-once: change it here and in
+    the emitters together.  None if no such epoch was ever applied."""
+    hi: int | None = None
+    for eid in table.snapshot().applied_epochs:
+        if eid.startswith(prefix):
+            to_v = int(eid.rsplit("-", 1)[1])
+            hi = to_v if hi is None else max(hi, to_v)
+    return hi

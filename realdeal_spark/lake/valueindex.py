@@ -44,7 +44,7 @@ from realdeal_spark.lake.merge import (
     MergeResult,
     merge_apply,
 )
-from realdeal_spark.lake.table import LakeTable
+from realdeal_spark.lake.table import LakeTable, interval_watermark
 
 _EPOCH_PREFIX = "valueindex:"
 
@@ -105,12 +105,7 @@ def value_index_watermark(idx: LakeTable) -> int | None:
     """Highest base version the index has applied, recovered from its
     own epoch ids (``valueindex:<from>-<to>``) — replication state
     carried in-band, so resume needs no side checkpoint."""
-    hi: int | None = None
-    for eid in idx.snapshot().applied_epochs:
-        if eid.startswith(_EPOCH_PREFIX):
-            to_v = int(eid.rsplit("-", 1)[1])
-            hi = to_v if hi is None else max(hi, to_v)
-    return hi
+    return interval_watermark(idx, _EPOCH_PREFIX)
 
 
 def advance_interval(
