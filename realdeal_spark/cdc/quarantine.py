@@ -222,7 +222,16 @@ def redrive_quarantine(
       new epoch) and re-applies — harmlessly, because a re-applied
       row ties on its order tuple and lands as unchanged/stale, the
       same reason whole-epoch replays are safe.  Either way every
-      invalid row ends in exactly one undrained dir.
+      invalid row ends in exactly one undrained dir.  One narrower
+      crash window exists INSIDE the epoch: the requeue write lands
+      before the commit (the applier's normal ordering), so a crash
+      between the two leaves the same unfixable rows in both the
+      unmarked source dirs and the requeue dir; the retry's batch
+      then carries each such row twice and runs ``repair`` on the
+      already-repaired copy — rows are never lost and the MERGE
+      conflates the copies, but ``repair`` MUST therefore be
+      idempotent (``repair(repair(x)) == repair(x)``), which every
+      fix-the-encoding / fill-the-null style transform naturally is.
 
     The applier must have ``quarantine_dir`` set (the re-quarantine
     guarantee depends on it)."""
@@ -239,10 +248,39 @@ def redrive_quarantine(
     epoch_id = f"redrive:{digest}:{attempt}"
     if not dirs:
         return RedriveReport(epoch_id, [], 0, None)
+    if epoch_id in applier.table.snapshot().applied_epochs:
+        # crash-retry fast path: the epoch already committed (markers
+        # may not have landed) — converge on the markers alone without
+        # re-reading the queue or re-running the repair; _apply_batch
+        # would skip anyway, but only after two full DLQ scans
+        report = applier._apply_batch(
+            applier.table.spark.createDataFrame(
+                [], applier.table.schema().add("op", "string")
+            ),
+            epoch_id, 0, 0,
+        )
+        for d in dirs:
+            with open(os.path.join(d, DRAINED_MARKER), "w") as f:
+                f.write(epoch_id + "\n")
+        return RedriveReport(
+            epoch_id, [os.path.basename(d) for d in dirs], 0, report
+        )
     batch = read_quarantine(applier.table.spark, quarantine_dir)
     rows_read = batch.count()
     if repair is not None:
         batch = repair(batch)
+        repaired = batch.count()
+        if repaired != rows_read:
+            # the "nothing exits the queue silently" guarantee: a
+            # repair that filters rows out would let them vanish from
+            # the DLQ with no applied/requeued record
+            raise ValueError(
+                f"repair changed the row count ({rows_read} -> "
+                f"{repaired}); a repair must transform rows, not drop "
+                "or add them — filter duplicates via the MERGE's own "
+                "conflation, route unfixable rows by leaving them "
+                "invalid (they re-queue)"
+            )
     batch = batch.drop(REASON_COL, Q_EPOCH_COL)
     lsn_col = F.col(applier.lsn_col)
     bounds = batch.agg(

@@ -40,6 +40,7 @@ _PAYLOAD = "__asof_r"
 _BUCKET = "__asof_b"
 _CARRY = "__asof_carry"
 _ORD = "__asof_ord"
+_JKEY = "__asof_k"
 
 
 def asof_join(
@@ -79,6 +80,16 @@ def asof_join(
         )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
+    # validate the join keys on BOTH sides: a typo'd `on` column that
+    # exists only on the right would otherwise be null-filled by the
+    # tagged union and return all-NULL payloads instead of raising
+    absent_l = [c for c in on if c not in left.columns]
+    absent_r = [c for c in on if c not in right.columns]
+    if absent_l or absent_r:
+        raise ValueError(
+            f"asof_join `on` columns missing: left={absent_l}, "
+            f"right={absent_r}"
+        )
     rcols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -143,6 +154,14 @@ def asof_join(
         u = u.withColumn(
             _BUCKET, F.floor(F.col(_TS) / F.lit(float(bucket_width)))
         )
+        # join the carry through a STRUCT of the keys: struct equality
+        # is null-safe per field, so NULL join keys group together
+        # exactly like the plain path's Window.partitionBy — raw-column
+        # equi-joins would silently drop NULL-key matches (the same
+        # reason sampling's prefix-sum carry join uses eqNullSafe)
+        u = u.withColumn(
+            _JKEY, F.struct(*on) if on else F.lit(0)
+        )
         # Phase 1 — per-(key, bucket) last right row: max_by over the
         # right rows only, partial-aggregated map-side.  Output is one
         # row per (key, bucket) the RIGHT side touches; left-only
@@ -152,34 +171,38 @@ def asof_join(
         tiebreak = F.struct(F.col(_TS), F.col(_SRC))
         lasts = (
             u.where(F.col(_SRC) == 0)
-            .groupBy(*on, _BUCKET)
+            .groupBy(_JKEY, _BUCKET)
             .agg(F.max_by(F.col(_PAYLOAD), tiebreak).alias("_last"))
         )
         lonly = (
             u.where(F.col(_SRC) == 1)
-            .select(*on, _BUCKET)
+            .select(_JKEY, _BUCKET)
             .distinct()
-            .join(lasts.select(*on, _BUCKET), on=[*on, _BUCKET], how="left_anti")
+            .join(
+                lasts.select(_JKEY, _BUCKET),
+                on=[_JKEY, _BUCKET],
+                how="left_anti",
+            )
             .withColumn("_last", F.lit(None).cast(lasts.schema["_last"].dataType))
         )
         wprev = (
-            Window.partitionBy(*on)
+            Window.partitionBy(_JKEY)
             .orderBy(F.col(_BUCKET))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = lasts.unionByName(lonly).select(
-            *on,
+            _JKEY,
             F.col(_BUCKET),
             F.last("_last", ignorenulls=True).over(wprev).alias("_carry_in"),
         )
         # Phase 2 — heavy window partitions by (key, bucket), seeded
         # by the bucket's carry-in.
         wb = (
-            Window.partitionBy(*on, _BUCKET)
+            Window.partitionBy(_JKEY, _BUCKET)
             .orderBy(F.col(_TS), F.col(_SRC))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = u.join(carry, on=[*on, _BUCKET], how="left").withColumn(
+        matched = u.join(carry, on=[_JKEY, _BUCKET], how="left").withColumn(
             _CARRY,
             F.coalesce(
                 F.last(_PAYLOAD, ignorenulls=True).over(wb),

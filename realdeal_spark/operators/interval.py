@@ -113,7 +113,12 @@ def range_join(
     p_ = lambda c: F.col(f"__rj_p.{c}")  # noqa: E731
     i_ = lambda c: F.col(f"__rj_i.{c}")  # noqa: E731
     cond = [p_(_CELL) == i_(_CELL)] + [p_(c) == i_(c) for c in on]
-    refine = (i_(lo_col) <= p_(point_col)) & (p_(point_col) <= i_(hi_col))
+    # refine on the SAME double domain the grid cells use — comparing
+    # the raw columns would order string-typed numerics
+    # lexicographically and disagree with the cell assignment
+    refine = (
+        i_(lo_col).cast("double") <= p_(point_col).cast("double")
+    ) & (p_(point_col).cast("double") <= i_(hi_col).cast("double"))
     joined = pt.join(iv, on=[*cond, refine], how=how)
     return joined.select(
         *[p_(c) for c in points.columns],

@@ -252,3 +252,53 @@ def test_suggest_cell(spark, range_data):
     w = suggest_cell(idf, "lo", "hi")
     lens = sorted(hi - lo for _, lo, hi in intervals)
     assert 0 < w <= max(lens) + 1
+
+
+def test_asof_bucketed_handles_null_keys_like_plain(spark):
+    """NULL join keys must group together in the bucketed plan exactly
+    as Window.partitionBy groups them in the plain plan (regression:
+    the carry equi-join was null-unsafe and dropped NULL-key
+    matches)."""
+    from realdeal_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 200000.0), (1, 200000.0)], "k int, t double"
+    )
+    right = spark.createDataFrame(
+        [(None, 10.0, "null-key"), (1, 10.0, "one")],
+        "k int, rt double, v string",
+    )
+    plain = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    bucketed = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        bucket_width=86400.0,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        ((r["k"] is None, r["k"]), r["v"]) for r in df.collect()
+    )
+    assert (
+        key(bucketed)
+        == key(plain)
+        == [((False, 1), "one"), ((True, None), "null-key")]
+    )
+
+
+def test_asof_on_typo_raises(spark):
+    from realdeal_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0)], "user_id int, t double")
+    right = spark.createDataFrame([(1, 1.0, "x")], "user int, rt double, v string")
+    with pytest.raises(ValueError, match="missing"):
+        asof_join(left, right, on=["user"], left_ts="t", right_ts="rt")
+
+
+def test_range_join_string_typed_numerics_match_grid(spark):
+    """String-typed numeric bounds must BETWEEN numerically, not
+    lexicographically (regression: refine compared raw strings while
+    the grid cells compared doubles — '9' <= '15' was false)."""
+    from realdeal_spark.operators.interval import range_join
+
+    pts = spark.createDataFrame([("15",)], "p string")
+    ivs = spark.createDataFrame([("9", "100")], "lo string, hi string")
+    got = range_join(pts, ivs, point_col="p", lo_col="lo", hi_col="hi", cell=8.0)
+    assert got.count() == 1
