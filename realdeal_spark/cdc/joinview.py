@@ -486,4 +486,5 @@ def stream_maintain_join_view(
         starting_version=starting_version,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )

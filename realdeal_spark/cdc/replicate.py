@@ -149,4 +149,5 @@ def stream_replicate(
         starting_version=starting_version,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )

@@ -101,8 +101,16 @@ def _positions(key_cols: list[F.Column], m_bits: F.Column) -> F.Column:
 
 
 def _norm_uri(col: F.Column) -> F.Column:
-    """input_file_name() URI → plain absolute path."""
-    return F.url_decode(F.regexp_replace(col, r"^file:/*", "/"))
+    """input_file_name() URI → plain absolute path.  A literal ``+``
+    in the path is pre-encoded before url_decode — form decoding
+    would otherwise turn it into a space and the join against the
+    driver-side path would silently miss (empty sidecar = false
+    negatives, the one thing a Bloom index must never produce)."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, r"^file:/*", "/"), r"\+", "%2B"
+        )
+    )
 
 
 def build_bloom_sidecar(
@@ -124,8 +132,11 @@ def build_bloom_sidecar(
     """
     if not entries:
         return
+    # abspath, not just normpath: input_file_name() yields absolute
+    # URIs, so a table opened via a RELATIVE root would join nothing
+    # and write an empty sidecar — silent false negatives at probe
     abs_of = {
-        os.path.normpath(os.path.join(root, e["path"])): e for e in entries
+        os.path.abspath(os.path.join(root, e["path"])): e for e in entries
     }
     paths = sorted(abs_of)
     need_count = [p for p in paths if abs_of[p].get("rows") is None]
@@ -134,8 +145,9 @@ def build_bloom_sidecar(
         .select(*key_cols)
         .withColumn("_abs", _norm_uri(F.input_file_name()))
     )
+    nc = set(need_count)
     counts: dict[str, int] = {
-        p: int(abs_of[p]["rows"]) for p in paths if p not in set(need_count)
+        p: int(abs_of[p]["rows"]) for p in paths if p not in nc
     }
     if need_count:
         for r in (
@@ -172,7 +184,29 @@ def build_bloom_sidecar(
         .groupBy("path", "m_bits", "w")
         .agg(F.bit_or("_b").alias("word"))
     )
-    words.write.mode("error").parquet(os.path.join(root, sidecar_rel))
+    out = os.path.join(root, sidecar_rel)
+    words.write.mode("error").parquet(out)
+    # fail LOUDLY if any non-empty file produced no words: a path
+    # mismatch between the executor-side input_file_name() and the
+    # driver map would otherwise ship a sidecar whose probe prunes
+    # real rows (the sidecar result is tiny — this check is one read
+    # of it)
+    expected = {abs_of[p]["path"] for p in paths if counts.get(p, 0)}
+    got = {
+        r["path"]
+        for r in spark.read.parquet(out).select("path").distinct().collect()
+    }
+    missing = expected - got
+    if missing:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        raise RuntimeError(
+            "bloom sidecar build matched no keys for non-empty files "
+            f"{sorted(missing)[:3]}{'...' if len(missing) > 3 else ''} — "
+            "executor/driver path normalization diverged; sidecar "
+            "removed (no sidecar beats a false-negative one)"
+        )
 
 
 def bloom_candidate_paths(
@@ -262,12 +296,17 @@ def bloom_candidate_paths(
     # (caller passes a large n_keys) drops the hint and lets the
     # planner shuffle both sides — correct either way.
     n_buckets_touched = max(1, len({b for _, b, _, _ in covered}))
+    # unknown key count (n_keys=None) must NOT default to the
+    # broadcast branch — an ungated bulk caller would broadcast an
+    # unbounded probes frame; with no estimate, let the planner decide
     est_probe_rows = (
         (n_keys * len(covered) * BLOOM_K) // n_buckets_touched
         if n_keys is not None
-        else 0
+        else None
     )
-    may_broadcast = est_probe_rows <= 5_000_000
+    may_broadcast = (
+        est_probe_rows is not None and est_probe_rows <= 5_000_000
+    )
     pairs = keys_df.join(F.broadcast(fmeta), on="_b")
     pos_arr = F.array(
         *[

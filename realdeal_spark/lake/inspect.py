@@ -90,6 +90,11 @@ def snapshots_df(table) -> DataFrame:
     per-version file counts and byte totals (expired versions are
     absent, exactly like ``history()``)."""
     rows = []
+    # memoize per-file sizes across the history loop: carried-over
+    # files appear in EVERY later snapshot, so without the cache this
+    # stats O(snapshots x files) — data files are immutable once
+    # committed, so one stat each is exact
+    size_of: dict[str, int] = {}
     for snap in table.history():
         n_files = 0
         total = 0
@@ -98,10 +103,15 @@ def snapshots_df(table) -> DataFrame:
             for fe in fl:
                 n_files += 1
                 mor += 1 if fe.get("mor") else 0
-                try:
-                    total += os.path.getsize(os.path.join(table.root, fe["path"]))
-                except OSError:
-                    pass
+                p = fe["path"]
+                if p not in size_of:
+                    try:
+                        size_of[p] = os.path.getsize(
+                            os.path.join(table.root, p)
+                        )
+                    except OSError:
+                        size_of[p] = 0
+                total += size_of[p]
         rows.append(
             (
                 snap.version,
@@ -409,7 +419,14 @@ def remove_orphan_files(
             if not dry_run:
                 os.unlink(full)
         if not dry_run and root_dir != data_root and not os.listdir(root_dir):
-            os.rmdir(root_dir)
+            # age-gate the rmdir too: an in-flight writer creates its
+            # delta dir empty moments before populating it — removing
+            # a FRESH empty dir races that commit
+            try:
+                if os.path.getmtime(root_dir) <= cutoff:
+                    os.rmdir(root_dir)
+            except OSError:
+                pass  # raced with the writer or another janitor
     return {
         "orphans": sorted(orphans),
         "removed": 0 if dry_run else len(orphans),

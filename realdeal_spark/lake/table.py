@@ -359,7 +359,13 @@ class LakeTable:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
+        # normalize a RELATIVE root immediately: the Python side
+        # resolves it against the (mutable) process cwd while the JVM
+        # resolves it against ITS OWN startup cwd — two different
+        # directories the moment anyone chdirs, which surfaced as
+        # bloom sidecars whose executor-side paths matched nothing.
+        # Scheme-qualified roots (hdfs://, s3a://) pass through.
+        self.root = root if "://" in root else os.path.abspath(root)
 
     # ---------------------------------------------------------- meta io
 

@@ -400,4 +400,5 @@ def stream_maintain_value_index(
         starting_version=starting_version,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )

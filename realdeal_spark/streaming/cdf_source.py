@@ -96,6 +96,15 @@ class LakeChangesStreamReader(SimpleDataSourceStreamReader):
         if self.starting == "latest":
             v = vs[-1]
         elif self.starting == "earliest":
+            # NOTE: baseline-EXCLUSIVE — the offset starts AT the
+            # oldest retained snapshot and the stream delivers changes
+            # strictly after it.  On a fresh table that snapshot is
+            # the empty create commit, so "earliest" sees everything;
+            # after expire_snapshots it holds accumulated state a new
+            # consumer must bootstrap separately (read the snapshot,
+            # then tail from it — the create_replica pattern seeds the
+            # replica from the feed only because replicas start before
+            # expiry).  Unlike Delta CDF's inclusive startingVersion.
             v = vs[0]
         else:
             v = int(self.starting)
@@ -114,10 +123,21 @@ class LakeChangesStreamReader(SimpleDataSourceStreamReader):
             return iter([]), start  # no progress — empty batch
         to_v = cur
         if self.max_versions is not None:
-            # admission control: versions are committed densely, so a
-            # numeric cap bounds epochs-per-trigger (ST4's per-trigger
-            # budget, applied to the change-feed side)
-            to_v = min(cur, from_v + self.max_versions)
+            # admission control: a numeric cap bounds epochs-per-
+            # trigger (ST4's per-trigger budget, applied to the
+            # change-feed side).  Clamp to a version that EXISTS:
+            # expire_snapshots can leave gaps (a tagged old snapshot
+            # pinned while intermediates were dropped), and a
+            # descriptor ending on a dropped version would fail
+            # read_changes on every replay — a permanently wedged
+            # stream.  Take the largest retained version inside the
+            # budget, else the smallest retained one past it (jump
+            # the gap; the interval still ends on real metadata).
+            cap = from_v + self.max_versions
+            inside = [v for v in vs if from_v < v <= cap]
+            to_v = max(inside) if inside else min(
+                v for v in vs if v > from_v
+            )
         return iter([(from_v, to_v)]), {"version": to_v}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
@@ -201,6 +221,7 @@ def foreach_changes(
     max_versions_per_trigger: int | None = None,
     include_preimage: bool = False,
     trigger: dict | None = None,
+    expand: bool = True,
 ):
     """Run ``handler(changes_df, from_version, to_version)`` for every
     epoch the table advances — the standing CDF consumer.
@@ -209,7 +230,14 @@ def foreach_changes(
     the interval.  The handler MUST be idempotent per interval (a
     replayed batch after restart re-presents the same versions).
     Returns the StreamingQuery; ``trigger`` kwargs pass through (e.g.
-    ``{"availableNow": True}`` to drain and stop)."""
+    ``{"availableNow": True}`` to drain and stop).
+
+    ``expand=False`` passes ``changes_df=None`` and skips building the
+    feed plan here — every ``stream_maintain_*`` wrapper sets it
+    because the advance it calls re-derives the feed internally
+    (building it twice doubles per-trigger manifest/plan work, and
+    with ``include_preimage`` the wasted build even runs eager
+    jobs)."""
     desc = stream_changes(
         table.spark, table.root, starting_version, max_versions_per_trigger
     )
@@ -219,7 +247,9 @@ def foreach_changes(
         for row in batch_df.collect():
             fv, tv = int(row["from_version"]), int(row["to_version"])
             handler(
-                table.read_changes(fv, tv, include_preimage=include_preimage),
+                table.read_changes(fv, tv, include_preimage=include_preimage)
+                if expand
+                else None,
                 fv,
                 tv,
             )
@@ -259,6 +289,7 @@ def stream_maintain_rollup(
         starting_version=start,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )
 
 
@@ -299,6 +330,7 @@ def stream_maintain_ivf(
         starting_version=start,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )
 
 
@@ -347,6 +379,7 @@ def stream_maintain_dedup_index(
         starting_version=start,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )
 
 
@@ -384,4 +417,5 @@ def stream_maintain_history(
         starting_version=start,
         max_versions_per_trigger=max_versions_per_trigger,
         trigger=trigger,
+        expand=False,
     )

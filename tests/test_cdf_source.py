@@ -235,3 +235,26 @@ def test_descriptor_schema_and_raw_stream(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "from_version", "to_version",
     ]
+
+
+def test_max_versions_pacing_jumps_expiry_gaps(spark, tmp_path):
+    """expire_snapshots can leave version gaps (a tagged old snapshot
+    pinned while intermediates drop); the pacer must clamp descriptors
+    to RETAINED versions — an interval ending on a dropped version
+    would wedge the stream permanently (regression)."""
+    t, (v1, v2, v3) = _seed(spark, tmp_path)
+    t.set_tag("base", version=v1)
+    t.expire_snapshots(keep_last=1)
+    vs = t.versions()
+    assert v1 in vs and v2 not in vs  # the gap is real
+    seen: list[tuple[int, int]] = []
+    q = foreach_changes(
+        t,
+        lambda df, fv, tv: seen.append((fv, tv)),
+        str(tmp_path / "ckpt_gap"),
+        starting_version=v1,
+        max_versions_per_trigger=1,
+    )
+    _drain(q)
+    # one hop across the gap, landing on the retained head
+    assert seen == [(v1, v3)]

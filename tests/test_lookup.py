@@ -267,3 +267,39 @@ def test_mor_bulk_batch_skips_bloom_probe(spark, tmp_path):
     assert _rows(tb.read()) == _rows(tp.read())
     stats = tb.snapshot().summary.get("classify_bloom")
     assert stats == {"skipped_bulk_keys": 4700}
+
+
+def test_bloom_sidecar_builds_under_relative_root(spark, tmp_path):
+    """A table opened via a RELATIVE root must still build correct
+    sidecars (regression: the executor-side absolute input paths
+    joined nothing against the driver's relative map, writing an
+    empty sidecar whose probe then false-negatived real keys; the
+    build now abspaths its map and fails loudly on a mismatch)."""
+    import os
+
+    from realdeal_spark.lake.table import LakeTable
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        t = LakeTable.create(
+            spark, "rel_bloom_t",
+            "url string, warc_ts timestamp_ntz, lsn bigint, v double",
+            ["url"], ["warc_ts", "lsn"], n_buckets=2,
+            soft_delete=True, key_blooms=True,
+        )
+        import datetime as dt
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), i, float(i))
+            for i in range(20)
+        ]
+        merge_apply(t, spark.createDataFrame(
+            [r + ("update",) for r in rows],
+            "url string, warc_ts timestamp_ntz, lsn bigint, v double, "
+            "op string",
+        ))
+        got = {r["url"] for r in t.lookup(["u3", "u7", "nope"]).collect()}
+        assert got == {"u3", "u7"}
+    finally:
+        os.chdir(cwd)
