@@ -398,6 +398,7 @@ def remove_orphan_files(
     orphans: list[str] = []
     total_bytes = 0
     data_root = os.path.join(table.root, "data")
+    emptied: set[str] = set()
     for root_dir, dirs, fns in os.walk(data_root, topdown=False):
         for fn in fns:
             # parquet only, like expire_snapshots: _SUCCESS/.crc
@@ -418,15 +419,27 @@ def remove_orphan_files(
             total_bytes += size
             if not dry_run:
                 os.unlink(full)
+                emptied.add(root_dir)
         if not dry_run and root_dir != data_root and not os.listdir(root_dir):
-            # age-gate the rmdir too: an in-flight writer creates its
-            # delta dir empty moments before populating it — removing
-            # a FRESH empty dir races that commit
-            try:
-                if os.path.getmtime(root_dir) <= cutoff:
+            # a dir THIS sweep emptied (directly, or by collapsing a
+            # child) collapses with it; an empty dir the sweep never
+            # touched must also pass the age gate — an in-flight
+            # writer creates its delta dir empty moments before
+            # populating it, and rmdir'ing that fresh dir races the
+            # commit (the unlink/rmdir above bump parent mtimes, so
+            # mtime alone cannot make this distinction)
+            ok = root_dir in emptied
+            if not ok:
+                try:
+                    ok = os.path.getmtime(root_dir) <= cutoff
+                except OSError:
+                    ok = False
+            if ok:
+                try:
                     os.rmdir(root_dir)
-            except OSError:
-                pass  # raced with the writer or another janitor
+                    emptied.add(os.path.dirname(root_dir))
+                except OSError:
+                    pass  # raced with the writer or another janitor
     return {
         "orphans": sorted(orphans),
         "removed": 0 if dry_run else len(orphans),

@@ -195,3 +195,17 @@ def test_to_view_sql_composition(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not both"):
         t.to_view("x", version=2, asof=mid)
+
+
+def test_fresh_empty_dir_spared_by_rmdir_age_gate(spark, tmp_path):
+    """An empty delta dir the sweep never emptied itself (an in-flight
+    writer's freshly created, not-yet-populated dir) must survive the
+    sweep; emptied-by-the-sweep dirs still collapse (the other tests
+    prove that)."""
+    t = _mk(spark, tmp_path)
+    merge_apply(t, _ev(spark, [(1, "insert", "a", 1.0)]))
+    racing = os.path.join(t.root, "data/delta-racing2/pb=0")
+    os.makedirs(racing)
+    res = remove_orphan_files(t, older_than_s=3600)
+    assert res["removed"] == 0
+    assert os.path.isdir(racing)  # spared — writer may populate it
