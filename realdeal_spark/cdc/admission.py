@@ -47,7 +47,7 @@ def _is_wide(type_str: str) -> bool:
     return type_str.startswith(_WIDE_TYPE_PREFIXES)
 
 
-def resolve_strategy(table, snap, configured: str) -> str:
+def resolve_strategy(table, snap, configured: str, batch=None) -> str:
     """Resolve an ``"auto"`` conflation strategy from the table's
     *current* schema (per epoch, so schema evolution — e.g. adding an
     html or text column — flips it correctly).
@@ -55,14 +55,28 @@ def resolve_strategy(table, snap, configured: str) -> str:
     ``light`` iff any non-key/order column is unbounded-width; else
     ``max_by``.  A CDC source guarantees light's preconditions
     (unique, non-null order tuple per key — the binlog lsn).
+
+    ``batch`` (optional DataFrame): also consider the INCOMING
+    batch's schema — the epoch that auto-evolves a wide column in
+    would otherwise resolve against the still-narrow pre-epoch table
+    and shuffle the new payload through max_by's SortAggregate, and
+    the evolving epoch (a backfill) is typically the largest.  The
+    batch schema is driver-side metadata — no job runs.
     """
     if configured != "auto":
         return configured
     keyed = set(snap.key_columns) | set(snap.order_columns)
-    fields = table._schema_version(snap, snap.current_schema).fields
     heavy = any(
-        _is_wide(f["type"]) for f in fields if f["name"] not in keyed
+        _is_wide(f.dataType.simpleString())
+        for f in table.schema(snap).fields
+        if f.name not in keyed
     )
+    if not heavy and batch is not None:
+        heavy = any(
+            _is_wide(f.dataType.simpleString())
+            for f in batch.schema.fields
+            if f.name not in keyed
+        )
     return "light" if heavy else "max_by"
 
 

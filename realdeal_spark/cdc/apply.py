@@ -180,12 +180,17 @@ class CdcApplier:
     def epoch_id_for(lsn_start: int, lsn_end: int) -> str:
         return f"lsn:{lsn_start}-{lsn_end}"
 
-    def _resolve_strategy(self, snap) -> str:
-        """'auto' → 'light' iff the table carries an unbounded-width
-        payload column (binary OR string/array/map — an extracted
-        ``text`` column shuffles like an html blob); shared with the
-        streaming applier via cdc.admission."""
-        return resolve_strategy(self.table, snap, self.conflate_strategy)
+    def _resolve_strategy(self, snap, batch=None) -> str:
+        """'auto' → 'light' iff the table OR the incoming batch
+        carries an unbounded-width payload column (binary OR
+        string/array/map — an extracted ``text`` column shuffles like
+        an html blob); the batch check catches the epoch that
+        auto-evolves the wide column IN, which would otherwise still
+        conflate via max_by.  Shared with the streaming applier via
+        cdc.admission."""
+        return resolve_strategy(
+            self.table, snap, self.conflate_strategy, batch=batch
+        )
 
     # ------------------------------------------------------------ epochs
 
@@ -257,7 +262,7 @@ class CdcApplier:
         # twice in one DAG (winner-find + semi join), which would
         # double-count an Observation — there, count on a key-column
         # projection instead (columnar scan of one column).
-        strategy = self._resolve_strategy(snap)
+        strategy = self._resolve_strategy(snap, batch)
         obs = None
         conflate_kwargs = {}
         if strategy == "light":
@@ -308,6 +313,17 @@ class CdcApplier:
                 # known pre-merge, so lineage_df can report it without
                 # a side store
                 "quarantined": n_quarantined,
+                # events_in is known pre-merge only on the light path
+                # (the admission pass counts it); the max_by/window
+                # paths learn it from an Observation AFTER the commit,
+                # so their snapshots omit it rather than record a
+                # placeholder — lineage() reports None there, the
+                # in-run EpochReport always has the true value
+                **(
+                    {"events_in": n_in}
+                    if strategy == "light"
+                    else {}
+                ),
             },
             mode=self.merge_mode,
             capture_changes=self.capture_changes,
@@ -370,10 +386,27 @@ class CdcApplier:
         start = (start // epoch_size) * epoch_size
         if lsn_bounds is not None:
             # caller knows the log's lsn range (a binlog tail always
-            # does) — skip the discovery scan entirely.
+            # does) — bound the discovery aggregation to that slice
+            # (pushed-down lsn predicate) instead of trusting the
+            # range to be dense: blindly enumerating every grid cell
+            # in [lo, hi] made an lsn GAP cost one conflate+merge
+            # round-trip per empty cell, and under max_epochs the
+            # truncation could select ONLY empty cells — which commit
+            # nothing, so the applier livelocked at the gap forever.
+            # One narrow one-column pass over the bounded slice finds
+            # the real cells; max_epochs then always truncates to
+            # cells that advance progress.
             lo, hi = lsn_bounds
             lo = max(lo, start)
-            cells = list(range(lo // epoch_size, hi // epoch_size + 1))
+            cells = sorted(
+                r[0]
+                for r in log.where(
+                    (F.col(self.lsn_col) >= lo) & (F.col(self.lsn_col) <= hi)
+                )
+                .select(F.floor(F.col(self.lsn_col) / epoch_size).alias("c"))
+                .distinct()
+                .collect()
+            )
         else:
             # one aggregation finds the non-empty grid cells — sparse
             # lsn ranges (compacted logs, retention-trimmed tails)
@@ -434,14 +467,25 @@ class CdcApplier:
 
     def lineage(self) -> list[dict]:
         """Offset-range → snapshot-id lineage across this applier's run
-        plus everything recorded in the table's snapshot history."""
+        plus everything recorded in the table's snapshot history.
+
+        ``epoch_id`` distinguishes grid epochs (``lsn:<a>-<b>``) from
+        redrive commits (``redrive:<digest>:<n>``), whose lsn bounds
+        are informational and OVERLAP already-landed grid ranges — an
+        "every offset range landed exactly once" audit must filter on
+        it (``lake.inspect.lineage_df`` applies the same rule)."""
         out = []
+        prev_applied: set[str] = set()
         for snap in self.table.history():
             s = snap.summary
+            applied = set(snap.applied_epochs)
+            new_ids = applied - prev_applied
+            prev_applied = applied
             if "lsn_start" in s:
                 out.append(
                     {
                         "snapshot_version": snap.version,
+                        "epoch_id": next(iter(new_ids)) if len(new_ids) == 1 else None,
                         "lsn_start": s["lsn_start"],
                         "lsn_end": s["lsn_end"],
                         "events_in": s.get("events_in"),

@@ -114,7 +114,17 @@ def conflate(
             df = bloom_prefilter(
                 df, winners, key_columns + order_columns, bloom_expected_keys
             )
-        return df.join(winners, on=key_columns + order_columns, how="left_semi")
+        out = df.join(
+            winners, on=key_columns + order_columns, how="left_semi"
+        )
+        # at-least-once delivery can replay the SAME event twice in
+        # one batch (identical key AND order tuple): the semi join
+        # keeps both copies and the MERGE would emit duplicate key
+        # rows into the table — silent corruption max_by/window are
+        # structurally immune to.  Collapse exact (key, order) ties;
+        # the aggregate rides the winner-set-sized output, not the
+        # raw batch.
+        return out.dropDuplicates(key_columns + order_columns)
 
     if strategy == "max_by":
         ordert = F.struct(*[F.col(c) for c in order_columns])

@@ -108,7 +108,9 @@ class StreamingCdcApplier:
         # (cdc.admission): a huge first/backfill micro-batch through
         # auto→light must NOT broadcast an over-cap winner set — the
         # same driver-stall cliff the batch path gates against.
-        strategy = resolve_strategy(self.table, snap, self.conflate_strategy)
+        strategy = resolve_strategy(
+            self.table, snap, self.conflate_strategy, batch=batch_df
+        )
         obs = None
         conflate_kwargs = {}
         if strategy == "light":

@@ -294,3 +294,54 @@ def test_epoch_gc_gated_on_rows(spark, tmp_path):
     b._fire_driver_gc = lambda: fired.append("b")
     b._maybe_driver_gc(rep(10**9))
     assert fired == [True]
+
+
+def test_run_lsn_bounds_skips_gap_cells(spark, tmp_path):
+    """A sparse lsn range under lsn_bounds must not enumerate empty
+    grid cells: with max_epochs the truncation previously selected
+    ONLY empty cells (which commit nothing) and the applier
+    livelocked at the gap forever (regression)."""
+    from realdeal_spark.cdc.apply import CdcApplier
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "gap"),
+        "url string, warc_ts timestamp_ntz, lsn bigint, v double",
+        ["url"], ["warc_ts", "lsn"], n_buckets=4, soft_delete=True,
+    )
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 5, 1.0, "insert"),
+        # gap: nothing between lsn 6 and 9999
+        ("b", dt.datetime(2024, 1, 2), 10000, 2.0, "insert"),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp_ntz, lsn bigint, v double, op string",
+    )
+    a = CdcApplier(t)
+    reports = a.run(log, epoch_size=100, max_epochs=5, lsn_bounds=(0, 10100))
+    # two real cells, zero empty round-trips, progress past the gap
+    assert len(reports) == 2
+    assert {r["url"] for r in t.read().collect()} == {"a", "b"}
+    assert a.last_applied_lsn() >= 10000
+    # re-run: everything skips (no livelock, no recompute)
+    again = a.run(log, epoch_size=100, max_epochs=5, lsn_bounds=(0, 10100))
+    assert all(rep.skipped for rep in again)
+
+
+def test_light_conflation_collapses_exact_replays_in_batch(spark, tmp_path):
+    """At-least-once delivery: the SAME event twice in one batch
+    (identical key AND order tuple) must conflate to one row — the
+    light path's semi join previously kept both copies and the MERGE
+    wrote duplicate key rows (regression)."""
+    from realdeal_spark.cdc.conflate import conflate
+
+    rows = [
+        (1, 10, "x", "update"),
+        (1, 10, "x", "update"),  # exact replay
+        (2, 10, "y", "update"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts bigint, v string, op string")
+    out = conflate(df, ["k"], ["ts"], strategy="light")
+    assert sorted((r["k"], r["ts"]) for r in out.collect()) == [(1, 10), (2, 10)]
